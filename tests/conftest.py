@@ -1,0 +1,37 @@
+"""Test configuration: force CPU with a virtual 8-device mesh.
+
+This is the JAX-native way to test multi-chip sharding without hardware
+(SURVEY.md §4): XLA_FLAGS=--xla_force_host_platform_device_count=8.
+Must run before jax is first imported by any test module.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Make the repo root importable regardless of pytest rootdir.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) force-registers itself and overrides
+# JAX_PLATFORMS; pin the config directly so tests always run on the virtual
+# 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def g1_xml():
+    from add_gym_tpu.utils.assets import asset_path
+
+    return asset_path("g1_description/g1_29.xml")

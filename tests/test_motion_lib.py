@@ -1,0 +1,124 @@
+"""MotionLib tests on a real mocap clip plus synthetic fixtures."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import yaml
+
+from add_gym_tpu.kinematics.char_model import load_char_model
+from add_gym_tpu.motion.motion_lib import load_motion_lib
+from add_gym_tpu.motion.motion_file import load_motion, extract_pose_data
+from add_gym_tpu.utils.assets import asset_path
+
+CLIP = "motions/walk1_subject1.motion"
+
+
+@pytest.fixture(scope="module")
+def char():
+    return load_char_model(asset_path("g1_description/g1_29.xml"))
+
+
+@pytest.fixture(scope="module")
+def motion_order():
+    with open("/root/reference/add_gym/configs/task/pose.yaml") as f:
+        return yaml.safe_load(f)["motion_joint_order"]
+
+
+@pytest.fixture(scope="module")
+def lib(char, motion_order):
+    return load_motion_lib(asset_path(CLIP), motion_order, char, dt=0.01)
+
+
+def test_clip_metadata(lib):
+    clip = load_motion(asset_path(CLIP))
+    expect_len = (clip.frames.shape[0] - 1) / 30.0
+    assert lib.num_motions == 1
+    np.testing.assert_allclose(float(lib.lengths[0]), expect_len, rtol=1e-5)
+    # per-dt table covers [0, len) at 100 Hz
+    assert int(lib.num_steps[0]) == int(np.ceil(expect_len / 0.01)) or int(
+        lib.num_steps[0]
+    ) == len(np.arange(0, expect_len, 0.01))
+
+
+def test_frame_zero_matches_source(lib, char, motion_order):
+    clip = load_motion(asset_path(CLIP))
+    root_pos, root_rot, joint_dof = extract_pose_data(clip.frames[0])
+
+    rp, rr, rv, rav, dp, dv = lib.get_motion_step(
+        jnp.zeros(1, jnp.int32), jnp.zeros(1)
+    )
+    np.testing.assert_allclose(np.asarray(rp[0]), root_pos, atol=1e-4)
+    # root quat normalized wxyz, same hemisphere up to sign
+    dot = abs(float(np.sum(np.asarray(rr[0]) * root_rot / np.linalg.norm(root_rot))))
+    assert dot > 1 - 1e-4
+
+    # dof columns reordered from motion order to BFS client order; hinge
+    # round trip through quats preserves the angle
+    kin_order = char.get_joint_order()[1:]
+    col_map = [list(motion_order).index(n) for n in kin_order]
+    np.testing.assert_allclose(np.asarray(dp[0]), joint_dof[col_map], atol=1e-3)
+
+
+def test_time_quantization_gather(lib):
+    # t in [k*dt, (k+1)*dt) all resolve to step k
+    ids = jnp.zeros(3, jnp.int32)
+    base = lib.get_motion_step(ids, jnp.array([0.50, 0.504, 0.509]))
+    for arr in base:
+        np.testing.assert_allclose(arr[0], arr[1], atol=0)
+        np.testing.assert_allclose(arr[0], arr[2], atol=0)
+
+
+def test_clamp_beyond_end(lib):
+    ids = jnp.zeros(2, jnp.int32)
+    end = lib.get_motion_step(ids, jnp.array([1e6, float(lib.lengths[0])]))
+    last = lib.get_motion_step(
+        ids, jnp.full((2,), float(lib.lengths[0]) - 0.005)
+    )
+    np.testing.assert_allclose(end[0][0], end[0][1], atol=0)
+    # clamped to final step, close to the last in-range step
+    assert float(jnp.linalg.norm(end[0][0] - last[0][0])) < 0.05
+
+
+def test_phase_clamp(lib):
+    ids = jnp.zeros(3, jnp.int32)
+    L = float(lib.lengths[0])
+    phase = lib.calc_motion_phase(ids, jnp.array([0.0, 0.5 * L, 2.0 * L]))
+    np.testing.assert_allclose(phase, [0.0, 0.5, 1.0], atol=1e-5)
+
+
+def test_sampling(lib):
+    key = jax.random.PRNGKey(0)
+    ids = lib.sample_motions(key, 64)
+    assert ids.shape == (64,)
+    assert int(ids.max()) == 0
+
+    times = lib.sample_time(jax.random.PRNGKey(1), ids)
+    assert float(times.min()) >= 0
+    assert float(times.max()) < float(lib.lengths[0])
+    # quantized to dt
+    q = times / 0.01
+    np.testing.assert_allclose(q, jnp.round(q), atol=1e-3)
+
+
+def test_velocity_consistency(lib):
+    # finite difference of precomputed root positions ~ stored root velocity
+    ids = jnp.zeros(1, jnp.int32)
+    t = jnp.array([1.0])
+    rp0, _, rv0, _, dp0, dv0 = lib.get_motion_step(ids, t)
+    rp1, _, _, _, dp1, _ = lib.get_motion_step(ids, t + 1.0 / 30.0)
+    est = (rp1 - rp0) * 30.0
+    np.testing.assert_allclose(est, rv0, atol=0.25)
+    est_dof = (dp1 - dp0) * 30.0
+    # dof velocities are per-source-frame finite differences; tolerate noise
+    assert float(jnp.mean(jnp.abs(est_dof - dv0))) < 0.5
+
+
+def test_gather_jits_in_scan(lib):
+    # the lookup must work inside lax.scan (the rollout hot loop)
+    def body(carry, t):
+        out = lib.get_motion_step(jnp.zeros(4, jnp.int32), jnp.full(4, t))
+        return carry, out[0]
+
+    _, traj = jax.jit(lambda: jax.lax.scan(body, 0, jnp.arange(0.0, 1.0, 0.1)))()
+    assert traj.shape == (10, 4, 3)
