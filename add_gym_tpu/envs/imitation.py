@@ -1,0 +1,372 @@
+"""Imitation environment: device-resident, shape-static, scan-friendly.
+
+Functional replacement for the reference environment/task stack
+(``envs/env.py`` + ``learning/add/add_observation|reward|done|motion``):
+one ``EnvState`` pytree and pure ``step`` / ``reset_where`` / ``compute_obs``
+functions designed to live inside ``lax.scan`` rollouts.  Resets are masked
+``jnp.where`` merges (SURVEY.md §7.1) — no host round-trips.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import add_gym_tpu.mathx.rotations as rot
+from add_gym_tpu.envs import obs as obs_mod
+from add_gym_tpu.envs.done import DoneFlags, compute_done
+from add_gym_tpu.envs.reward import compute_reward
+from add_gym_tpu.kinematics.char_model import CharModel
+from add_gym_tpu.learning import sampler as sampler_mod
+from add_gym_tpu.motion.motion_lib import MotionLib
+from add_gym_tpu.physics.engine import EngineParams, SimState, default_state, step as engine_step
+from add_gym_tpu.physics.model import PhysicsModel
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    """Static task parameters (configs/task/pose.yaml)."""
+
+    max_episode_length: float = 20.0
+    global_obs: bool = True
+    root_height_obs: bool = True
+    pose_termination: bool = True
+    pose_termination_dist: float = 1.0
+    enable_phase_obs: bool = False
+    enable_tar_obs: bool = True
+    num_phase_encoding: int = 4
+    tar_obs_steps: Sequence[int] = (1, 2, 3, 4, 5, 6)
+    num_disc_obs_steps: int = 3
+    rand_reset: bool = True
+    enable_early_termination: bool = True
+    enable_vel_obs: bool = False
+    contact_bodies: Sequence[str] = (
+        "left_knee_link", "left_ankle_pitch_link", "left_ankle_roll_link",
+        "right_knee_link", "right_ankle_pitch_link", "right_ankle_roll_link",
+    )
+    # reward weights/scales
+    reward_pose_w: float = 0.5
+    reward_vel_w: float = 0.1
+    reward_root_pose_w: float = 0.15
+    reward_root_vel_w: float = 0.1
+    reward_pose_scale: float = 0.25
+    reward_vel_scale: float = 0.01
+    reward_root_pose_scale: float = 5.0
+    reward_root_vel_scale: float = 1.0
+    sampler_num_segments: int = 20
+    sampler_temperature: float | None = None
+
+    @property
+    def track_root(self) -> bool:
+        # ref: add_observation.py:349-350 (_track_global_root)
+        return self.enable_tar_obs and self.global_obs
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EnvState:
+    """Batched environment state (sim + task bookkeeping + disc history)."""
+
+    sim: SimState
+    time: jnp.ndarray            # [N]
+    motion_ids: jnp.ndarray      # [N] int32
+    motion_offsets: jnp.ndarray  # [N]
+    done: jnp.ndarray            # [N] int32 DoneFlags
+    # discriminator history, oldest -> newest along axis 1 (H steps)
+    hist_root_pos: jnp.ndarray   # [N, H, 3]
+    hist_root_rot: jnp.ndarray   # [N, H, 4]
+    hist_root_vel: jnp.ndarray   # [N, H, 3]
+    hist_root_ang_vel: jnp.ndarray  # [N, H, 3]
+    hist_dof_pos: jnp.ndarray    # [N, H, D]
+    hist_dof_vel: jnp.ndarray    # [N, H, D]
+
+
+class ImitationEnv:
+    """Host-side factory binding model + motion data + config into pure fns.
+
+    The pure functions close over static arrays; all runtime data flows
+    through ``EnvState`` so everything jits/shards cleanly.
+    """
+
+    def __init__(
+        self,
+        model: PhysicsModel,
+        motion: MotionLib,
+        engine_params: EngineParams,
+        task: TaskConfig = TaskConfig(),
+    ):
+        self.model = model
+        self.motion = motion
+        self.params = engine_params
+        self.task = task
+        self.ctrl_dt = engine_params.ctrl_dt
+
+        contact_set = set(task.contact_bodies)
+        self.noncontact_mask = np.array(
+            [name not in contact_set for name in model.body_names], dtype=bool
+        )
+        self.tar_steps = np.asarray(task.tar_obs_steps, np.int32)
+        nseg = task.sampler_num_segments
+        self.seg_sizes = motion.lengths / nseg
+        self.min_start_time = (task.num_disc_obs_steps - 1) * self.ctrl_dt
+
+        # ref: robot.py:183-212 — action bounds = limits mid +- 1.4 x half-range
+        lim = np.asarray(model.dof_limit)
+        mid = 0.5 * (lim[:, 0] + lim[:, 1])
+        scale = 1.4 * np.maximum(np.abs(lim[:, 1] - mid), np.abs(lim[:, 0] - mid))
+        self.action_low = mid - scale
+        self.action_high = mid + scale
+
+    # ------------------------------------------------------------- obs sizes
+
+    @property
+    def num_dofs(self) -> int:
+        return self.model.nd
+
+    def obs_dim(self) -> int:
+        d = self.model.nd
+        char = (1 if self.task.root_height_obs else 0) + 6 + d
+        if self.task.enable_vel_obs:
+            char += 3 + 3 + d
+        total = char
+        if self.task.enable_phase_obs:
+            total += 1 + 2 * self.task.num_phase_encoding
+        if self.task.enable_tar_obs:
+            per = (3 if self.task.root_height_obs else 2) + 6 + d
+            total += per * len(self.tar_steps)
+        return total
+
+    def disc_obs_dim(self) -> int:
+        d = self.model.nd
+        per = 3 + 6 + d
+        if self.task.enable_vel_obs:
+            per += 3 + 3 + d
+        return per * self.task.num_disc_obs_steps
+
+    # -------------------------------------------------------------- builders
+
+    def init_state(self, num_envs: int) -> EnvState:
+        H, D = self.task.num_disc_obs_steps, self.model.nd
+        z = lambda *s: jnp.zeros((num_envs,) + s)
+        quat = jnp.zeros((num_envs, H, 4)).at[..., 0].set(1.0)
+        return EnvState(
+            sim=default_state(self.model, num_envs),
+            time=z(),
+            motion_ids=jnp.zeros(num_envs, jnp.int32),
+            motion_offsets=z(),
+            done=jnp.zeros(num_envs, jnp.int32),
+            hist_root_pos=z(H, 3),
+            hist_root_rot=quat,
+            hist_root_vel=z(H, 3),
+            hist_root_ang_vel=z(H, 3),
+            hist_dof_pos=z(H, D),
+            hist_dof_vel=z(H, D),
+        )
+
+    # ----------------------------------------------------------------- steps
+
+    def motion_times(self, state: EnvState):
+        return state.time + state.motion_offsets
+
+    def step(self, state: EnvState, pd_target):
+        """Physics step + task update.  Ref flow: add_agent.py:204-219.
+
+        Returns (state, obs, disc_obs, disc_obs_demo, reward, done).
+        """
+        sim, body_contact = engine_step(self.model, self.params, state.sim, pd_target)
+        time = state.time + self.ctrl_dt
+        state = replace(state, sim=sim, time=time)
+
+        # reference frame at current motion time (ref: add_obs.py:163-174)
+        mt = self.motion_times(state)
+        ref = self.motion.get_motion_step(state.motion_ids, mt)
+
+        # push sim state into disc history (ref: add_obs.py:195-207)
+        state = self._push_history(state)
+
+        obs = self.compute_obs(state)
+        disc_obs = self._disc_obs_from_hist(state)
+        disc_obs_demo = self._disc_obs_demo(state.motion_ids, mt)
+
+        reward = compute_reward(
+            sim.root_pos, sim.root_quat, sim.root_vel, sim.root_ang_vel,
+            sim.dof_pos, sim.dof_vel,
+            ref[0], ref[1], ref[2], ref[3], ref[4], ref[5],
+            jnp.ones((self.model.nd,), sim.dof_pos.dtype),
+            track_root_h=self.task.root_height_obs,
+            track_root=self.task.track_root,
+            pose_w=self.task.reward_pose_w,
+            vel_w=self.task.reward_vel_w,
+            root_pose_w=self.task.reward_root_pose_w,
+            root_vel_w=self.task.reward_root_vel_w,
+            pose_scale=self.task.reward_pose_scale,
+            vel_scale=self.task.reward_vel_scale,
+            root_pose_scale=self.task.reward_root_pose_scale,
+            root_vel_scale=self.task.reward_root_vel_scale,
+        )
+
+        motion_len = self.motion.get_motion_length(state.motion_ids)
+        loop_mode = self.motion.get_motion_loop_mode(state.motion_ids)
+        from add_gym_tpu.motion.motion_file import LoopMode
+
+        done = compute_done(
+            time, sim.root_pos, sim.dof_pos, ref[0], ref[4], body_contact,
+            mt, motion_len, loop_mode != int(LoopMode.WRAP),
+            ep_len=self.task.max_episode_length,
+            noncontact_body_mask=self.noncontact_mask,
+            pose_termination=self.task.pose_termination,
+            pose_termination_dist=self.task.pose_termination_dist,
+            enable_early_termination=self.task.enable_early_termination,
+            track_root=self.task.track_root,
+        )
+        state = replace(state, done=done)
+        return state, obs, disc_obs, disc_obs_demo, reward, done
+
+    def _push_history(self, state: EnvState) -> EnvState:
+        sim = state.sim
+        push = lambda buf, x: jnp.concatenate([buf[:, 1:], x[:, None]], axis=1)
+        return replace(
+            state,
+            hist_root_pos=push(state.hist_root_pos, sim.root_pos),
+            hist_root_rot=push(state.hist_root_rot, sim.root_quat),
+            hist_root_vel=push(state.hist_root_vel, sim.root_vel),
+            hist_root_ang_vel=push(state.hist_root_ang_vel, sim.root_ang_vel),
+            hist_dof_pos=push(state.hist_dof_pos, sim.dof_pos),
+            hist_dof_vel=push(state.hist_dof_vel, sim.dof_vel),
+        )
+
+    # ------------------------------------------------------------------- obs
+
+    def compute_obs(self, state: EnvState):
+        """Actor/critic obs.  Ref: add_observation.py:231-274."""
+        sim = state.sim
+        mt = self.motion_times(state)
+        t = self.task
+
+        if t.enable_phase_obs:
+            phase = self.motion.calc_motion_phase(state.motion_ids, mt)
+        else:
+            phase = jnp.zeros_like(mt)
+
+        if t.enable_tar_obs:
+            steps = jnp.asarray(self.tar_steps)
+            times = mt[:, None] + self.ctrl_dt * steps[None, :]
+            ids = jnp.broadcast_to(state.motion_ids[:, None], times.shape)
+            trp, trr, _, _, tdp, _ = self.motion.get_motion_step(
+                ids.reshape(-1), times.reshape(-1)
+            )
+            K = len(self.tar_steps)
+            N = mt.shape[0]
+            tar_root_pos = trp.reshape(N, K, 3)
+            tar_root_rot = trr.reshape(N, K, 4)
+            tar_dof_pos = tdp.reshape(N, K, self.model.nd)
+        else:
+            tar_root_pos = tar_root_rot = tar_dof_pos = jnp.zeros(
+                (mt.shape[0], 0, 0)
+            )
+
+        return obs_mod.compute_add_obs(
+            sim.root_pos, sim.root_quat, sim.root_vel, sim.root_ang_vel,
+            sim.dof_pos, sim.dof_vel, phase,
+            tar_root_pos, tar_root_rot, tar_dof_pos,
+            enable_vel_obs=t.enable_vel_obs,
+            global_obs=t.global_obs,
+            root_height_obs=t.root_height_obs,
+            enable_phase_obs=t.enable_phase_obs,
+            num_phase_encoding=t.num_phase_encoding,
+            enable_tar_obs=t.enable_tar_obs,
+        )
+
+    def _disc_obs_from_hist(self, state: EnvState):
+        return obs_mod.compute_disc_obs(
+            state.hist_root_pos, state.hist_root_rot, state.hist_root_vel,
+            state.hist_root_ang_vel, state.hist_dof_pos, state.hist_dof_vel,
+            enable_vel_obs=self.task.enable_vel_obs,
+            global_obs=self.task.global_obs,
+        )
+
+    def _demo_window(self, motion_ids, motion_times0):
+        """Demo states over the disc history window (oldest->newest).
+
+        Ref: add_observation.py:362-402 (backward time window).
+        """
+        H = self.task.num_disc_obs_steps
+        offs = -self.ctrl_dt * jnp.arange(H - 1, -1, -1, dtype=motion_times0.dtype)
+        times = motion_times0[:, None] + offs[None, :]
+        ids = jnp.broadcast_to(motion_ids[:, None], times.shape)
+        out = self.motion.get_motion_step(ids.reshape(-1), times.reshape(-1))
+        N = motion_times0.shape[0]
+        return tuple(x.reshape((N, H) + x.shape[1:]) for x in out)
+
+    def _disc_obs_demo(self, motion_ids, motion_times0):
+        rp, rr, rv, rav, dp, dv = self._demo_window(motion_ids, motion_times0)
+        return obs_mod.compute_disc_obs(
+            rp, rr, rv, rav, dp, dv,
+            enable_vel_obs=self.task.enable_vel_obs,
+            global_obs=self.task.global_obs,
+        )
+
+    def fetch_disc_obs_demo(self, key, n: int, sampler_state):
+        """Sample demo disc obs (AMP path).  Ref: add_observation.py:158-161."""
+        k1, k2 = jax.random.split(key)
+        ids = self.motion.sample_motions(k1, n)
+        times = self._sample_times(k2, ids, sampler_state)
+        return self._disc_obs_demo(ids, times)
+
+    # ----------------------------------------------------------------- reset
+
+    def _sample_times(self, key, motion_ids, sampler_state):
+        """Ref: add_motion.py:50-61."""
+        if not self.task.rand_reset:
+            return jnp.zeros(motion_ids.shape[0])
+        return sampler_mod.sample_start_time(
+            key, sampler_state, motion_ids, self.seg_sizes, self.ctrl_dt,
+            self.min_start_time, self.task.sampler_temperature,
+        )
+
+    def reset_where(self, key, state: EnvState, mask, sampler_state):
+        """Masked reset: fresh episodes where ``mask`` is True.
+
+        Ref: add_agent.py:221-233 + add_observation.py:308-344 — teleport to
+        a sampled reference pose, prefill disc history from demo.
+        """
+        N = state.time.shape[0]
+        k1, k2 = jax.random.split(key)
+        ids = self.motion.sample_motions(k1, N)
+        times = self._sample_times(k2, ids, sampler_state)
+
+        rp, rr, rv, rav, dp, dv = self.motion.get_motion_step(ids, times)
+        hist = self._demo_window(ids, times)
+
+        tgt_lo = jnp.asarray(self.model.dof_limit[:, 0], dp.dtype)
+        tgt_hi = jnp.asarray(self.model.dof_limit[:, 1], dp.dtype)
+        fresh_sim = SimState(
+            root_pos=rp,
+            root_quat=rr,
+            root_vel=rv,
+            root_ang_vel=rav,
+            dof_pos=jnp.clip(dp, tgt_lo, tgt_hi),
+            dof_vel=dv,
+            pd_target=jnp.clip(dp, tgt_lo, tgt_hi),
+        )
+        fresh = EnvState(
+            sim=fresh_sim,
+            time=jnp.zeros(N),
+            motion_ids=ids,
+            motion_offsets=times,
+            done=jnp.zeros(N, jnp.int32),
+            hist_root_pos=hist[0],
+            hist_root_rot=hist[1],
+            hist_root_vel=hist[2],
+            hist_root_ang_vel=hist[3],
+            hist_dof_pos=hist[4],
+            hist_dof_vel=hist[5],
+        )
+        pick = lambda new, old: jnp.where(
+            mask.reshape((N,) + (1,) * (new.ndim - 1)), new, old
+        )
+        return jax.tree_util.tree_map(pick, fresh, state)
