@@ -1,0 +1,58 @@
+"""Training / evaluation CLI.
+
+Equivalent of the reference's ``add_gym/main.py`` hydra entry: composes
+config groups, supports dotted overrides, dispatches mode=train|test, and
+auto-resumes from the experiment checkpoint for spot restarts.
+
+Usage:
+    python -m add_gym_tpu.cli.train engine.num_envs=4096 experiment_name=run1
+    python -m add_gym_tpu.cli.train mode=test checkpoint=logs/run1/checkpoint
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    overrides = [a for a in argv if "=" in a]
+
+    from add_gym_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
+    from add_gym_tpu.utils.config import load_config
+    from add_gym_tpu.learning.runner import Trainer
+
+    cfg = load_config("train", overrides)
+    mode = cfg.get("mode", "train")
+
+    trainer = Trainer(cfg)
+
+    # persist the composed config for reproducibility (ref main.py:62-66,
+    # pickled there; JSON here for inspectability)
+    import jax
+
+    if jax.process_index() == 0:
+        os.makedirs(trainer.exp_dir, exist_ok=True)
+        with open(os.path.join(trainer.exp_dir, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=2, default=str)
+
+    if mode == "train":
+        max_iters = cfg.get("max_iters")
+        trainer.train(max_iters=int(max_iters) if max_iters else None)
+    elif mode == "test":
+        ckpt = cfg.get("checkpoint")
+        if ckpt:
+            trainer.load(os.path.abspath(ckpt))
+        info = trainer.evaluate(int(cfg.get("test_episodes", 10)))
+        print(json.dumps(info))
+    else:
+        raise ValueError(f"Unsupported mode: {mode}")
+
+
+if __name__ == "__main__":
+    main()

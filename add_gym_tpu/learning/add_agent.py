@@ -1,0 +1,462 @@
+"""ADD agent: PPO + adversarial differential discriminator, fully on-device.
+
+TPU-native re-design of the reference agent stack (BaseAgent -> PPOAgent ->
+AMPAgent -> ADDAgent, SURVEY.md §2.4): one jitted ``train_iter`` fuses the
+rollout (lax.scan over env steps with masked auto-resets), reward/advantage
+construction (TD(λ) as a reverse scan), the discriminator reward on
+normalized observation *differences*, the adaptive-sampler error update, and
+the epoch/minibatch PPO+ADD parameter update.
+
+Under a sharded env axis (GSPMD) every batch statistic — advantage
+mean/std, normalizer stats, gradients — is a global reduction, replacing
+the reference's DDP/NCCL all-reduces (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from add_gym_tpu.envs.done import DoneFlags
+from add_gym_tpu.envs.imitation import EnvState, ImitationEnv
+from add_gym_tpu.learning import distributions as dist
+from add_gym_tpu.learning import normalizer as norm
+from add_gym_tpu.learning import sampler as sampler_mod
+from add_gym_tpu.learning.networks import ADDNet
+
+
+@dataclass(frozen=True)
+class AgentConfig:
+    """Hyperparameters (configs/agent/add_g1.yaml + train.yaml)."""
+
+    discount: float = 0.99
+    td_lambda: float = 0.95
+    steps_per_iter: int = 32
+    update_epochs: int = 5
+    batch_size: int = 4              # minibatch = batch_size * num_envs
+    ppo_clip_ratio: float = 0.2
+    norm_adv_clip: float = 4.0
+    action_bound_weight: float = 10.0
+    action_entropy_weight: float = 0.0
+    action_reg_weight: float = 0.0
+    critic_loss_weight: float = 1.0
+    learning_rate: float = 1e-4
+    grad_clip: float = 1.0
+    disc_loss_weight: float = 0.5
+    disc_logit_reg: float = 0.01
+    disc_grad_penalty: float = 20.0
+    disc_weight_decay: float = 1e-4
+    disc_reward_scale: float = 2.0
+    task_reward_weight: float = 0.0
+    disc_reward_weight: float = 1.0
+    action_std: float = 0.05
+    exp_prob: float = 1.0
+    normalizer_samples: float = 1e8
+    actor_net: str = "fc_3layers_1024units"
+    critic_net: str = "fc_3layers_1024units"
+    disc_net: str = "fc_2layers_1024units"
+    actor_init_output_scale: float = 0.01
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TrainState:
+    params: Any
+    opt_state: Any
+    obs_norm: norm.NormState
+    disc_norm: norm.DiffNormState
+    sampler: sampler_mod.SamplerState
+    sample_count: jnp.ndarray  # [] int
+
+
+class ADDAgent:
+    """Binds env + networks + config into jitted pure training functions."""
+
+    def __init__(self, env: ImitationEnv, cfg: AgentConfig, key):
+        self.env = env
+        self.cfg = cfg
+        self.net = ADDNet(
+            action_dim=env.num_dofs,
+            actor_net=cfg.actor_net,
+            critic_net=cfg.critic_net,
+            disc_net=cfg.disc_net,
+            actor_init_output_scale=cfg.actor_init_output_scale,
+        )
+        self.logstd = float(np.log(cfg.action_std))
+
+        # action normalizer from the action space (base_agent.py:233-266)
+        self.a_mean = jnp.asarray(
+            0.5 * (env.action_high + env.action_low), jnp.float32
+        )
+        self.a_std = jnp.asarray(
+            0.5 * (env.action_high - env.action_low), jnp.float32
+        )
+
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(cfg.learning_rate, weight_decay=0.0),
+        )
+        self._key = key
+
+    # ------------------------------------------------------------------ init
+
+    def init_train_state(self) -> TrainState:
+        k1, self._key = jax.random.split(self._key)
+        obs_dim = self.env.obs_dim()
+        disc_dim = self.env.disc_obs_dim()
+        params = self.net.init(
+            k1, jnp.zeros((1, obs_dim)), jnp.zeros((1, disc_dim))
+        )
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            obs_norm=norm.init_normalizer((obs_dim,)),
+            disc_norm=norm.init_diff_normalizer((disc_dim,)),
+            sampler=sampler_mod.init_sampler(
+                self.env.motion.num_motions, self.env.task.sampler_num_segments
+            ),
+            sample_count=jnp.zeros((), jnp.int32),
+        )
+
+    # --------------------------------------------------------------- acting
+
+    def _decide_action(self, params, obs_norm, key, obs, train: bool):
+        """Ref: ppo_agent.py:72-104 (rand-action-mask exploration)."""
+        norm_obs = norm.normalize(obs_norm, obs)
+        mean = self.net.apply(params, norm_obs, method=ADDNet.actor)
+        logstd = jnp.full_like(mean, self.logstd)
+        if train:
+            k1, k2 = jax.random.split(key)
+            a_rand = dist.sample(k1, mean, logstd)
+            mask = jax.random.bernoulli(
+                k2, self.cfg.exp_prob, (mean.shape[0], 1)
+            ).astype(jnp.float32)
+            norm_a = jnp.where(mask == 1.0, a_rand, mean)
+            rand_mask = mask[:, 0]
+        else:
+            norm_a = mean
+            rand_mask = jnp.zeros(mean.shape[0])
+        a_logp = dist.log_prob(mean, logstd, norm_a)
+        action = norm_a * self.a_std + self.a_mean
+        return action, norm_a, a_logp, rand_mask
+
+    # --------------------------------------------------------------- rollout
+
+    def rollout(self, ts: TrainState, env_state: EnvState, obs, key, num_steps,
+                train: bool = True):
+        """lax.scan over env steps.  Ref: base_agent.py:379-391 + §3.3 flow."""
+        env = self.env
+
+        def step_fn(carry, _):
+            env_state, obs, key = carry
+            key, k_act, k_reset = jax.random.split(key, 3)
+            action, _, a_logp, rand_mask = self._decide_action(
+                ts.params, ts.obs_norm, k_act, obs, train
+            )
+            (env_state2, next_obs, disc_obs, disc_demo, reward, done) = env.step(
+                env_state, action
+            )
+            motion_ids = env_state2.motion_ids
+            motion_times = env_state2.time + env_state2.motion_offsets
+
+            reset_mask = done != int(DoneFlags.NULL)
+            env_state3 = env.reset_where(k_reset, env_state2, reset_mask, ts.sampler)
+            obs_after = env.compute_obs(env_state3)
+
+            out = dict(
+                obs=obs, next_obs=next_obs, action=action, a_logp=a_logp,
+                rand_mask=rand_mask, reward=reward, done=done,
+                disc_obs=disc_obs, disc_obs_demo=disc_demo,
+                motion_ids=motion_ids, motion_times=motion_times,
+            )
+            return (env_state3, obs_after, key), out
+
+        (env_state, obs, _), traj = jax.lax.scan(
+            step_fn, (env_state, obs, key), None, length=num_steps
+        )
+        return env_state, obs, traj
+
+    # ---------------------------------------------------------- train data
+
+    def _disc_reward(self, params, disc_norm, disc_obs, disc_demo):
+        """Ref: add_agent.py:135-139 + amp_agent.py:194-206."""
+        diff = disc_demo - disc_obs
+        norm_diff = norm.diff_normalize(disc_norm, diff)
+        logits = self.net.apply(params, norm_diff, method=ADDNet.disc)
+        prob = jax.nn.sigmoid(logits)
+        r = -jnp.log(jnp.maximum(1.0 - prob, 1e-4))
+        return r * self.cfg.disc_reward_scale
+
+    def build_train_data(self, ts: TrainState, traj):
+        """Rewards, TD(λ) returns, normalized advantages, sampler update.
+
+        Ref: add_agent.py:110-133 + ppo_agent.py:111-159 +
+        base_agent.py:624-647.
+        """
+        cfg = self.cfg
+        task_r = traj["reward"]
+        disc_r = self._disc_reward(
+            ts.params, ts.disc_norm, traj["disc_obs"], traj["disc_obs_demo"]
+        )
+        r = cfg.task_reward_weight * task_r + cfg.disc_reward_weight * disc_r
+
+        # adaptive sampler error update (add_agent.py:117-122)
+        diff = traj["disc_obs"] - traj["disc_obs_demo"]
+        diff_sq = jnp.sum(jnp.square(diff), axis=-1)
+        new_sampler = sampler_mod.update_errors(
+            ts.sampler, self.env.seg_sizes,
+            traj["motion_ids"].reshape(-1), traj["motion_times"].reshape(-1),
+            diff_sq.reshape(-1),
+        )
+
+        # critic targets
+        norm_next = norm.normalize(ts.obs_norm, traj["next_obs"])
+        next_vals = self.net.apply(ts.params, norm_next, method=ADDNet.critic)
+        done = traj["done"]
+        next_vals = jnp.where(done == int(DoneFlags.SUCC), 0.0, next_vals)
+        next_vals = jnp.where(done == int(DoneFlags.FAIL), 0.0, next_vals)
+
+        ret = td_lambda_return(r, next_vals, done, cfg.discount, cfg.td_lambda)
+
+        norm_obs = norm.normalize(ts.obs_norm, traj["obs"])
+        vals = self.net.apply(ts.params, norm_obs, method=ADDNet.critic)
+        adv = ret - vals
+
+        mask = traj["rand_mask"] == 1.0
+        cnt = jnp.maximum(jnp.sum(mask), 1.0)
+        adv_mean = jnp.sum(adv * mask) / cnt
+        adv_var = jnp.sum(jnp.square(adv - adv_mean) * mask) / jnp.maximum(cnt - 1, 1.0)
+        adv_std = jnp.sqrt(adv_var)
+        norm_adv = (adv - adv_mean) / jnp.maximum(adv_std, 1e-5)
+        norm_adv = jnp.clip(norm_adv, -cfg.norm_adv_clip, cfg.norm_adv_clip)
+
+        data = dict(traj)
+        data["reward"] = r
+        data["tar_val"] = ret
+        data["adv"] = norm_adv
+
+        info = dict(
+            adv_mean=adv_mean, adv_std=adv_std,
+            disc_reward_mean=jnp.mean(disc_r), disc_reward_std=jnp.std(disc_r),
+            task_reward_mean=jnp.mean(task_r),
+        )
+        return replace(ts, sampler=new_sampler), data, info
+
+    # -------------------------------------------------------------- losses
+
+    def _loss(self, params, batch, obs_norm, disc_norm):
+        cfg = self.cfg
+        norm_obs = norm.normalize(obs_norm, batch["obs"])
+        norm_a = (batch["action"] - self.a_mean) / self.a_std
+
+        # critic (ppo_agent.py:209-219)
+        pred = self.net.apply(params, norm_obs, method=ADDNet.critic)
+        critic_loss = jnp.mean(jnp.square(batch["tar_val"] - pred))
+
+        # actor on rand-masked samples only (ppo_agent.py:221-275)
+        mean = self.net.apply(params, norm_obs, method=ADDNet.actor)
+        logstd = jnp.full_like(mean, self.logstd)
+        a_logp = dist.log_prob(mean, logstd, norm_a)
+        mask = (batch["rand_mask"] == 1.0).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(mask), 1.0)
+
+        ratio = jnp.exp(a_logp - batch["a_logp"])
+        adv = batch["adv"]
+        l0 = adv * ratio
+        l1 = adv * jnp.clip(ratio, 1.0 - cfg.ppo_clip_ratio, 1.0 + cfg.ppo_clip_ratio)
+        actor_loss = -jnp.sum(jnp.minimum(l0, l1) * mask) / cnt
+
+        clip_frac = jnp.sum(
+            (jnp.abs(ratio - 1.0) > cfg.ppo_clip_ratio) * mask
+        ) / cnt
+        imp_ratio = jnp.sum(ratio * mask) / cnt
+
+        # action bound loss on the mode in [-1, 1] (base_agent.py:522-546)
+        if cfg.action_bound_weight != 0:
+            viol_min = jnp.minimum(mean + 1.0, 0.0)
+            viol_max = jnp.maximum(mean - 1.0, 0.0)
+            viol = jnp.sum(jnp.square(viol_min), -1) + jnp.sum(jnp.square(viol_max), -1)
+            bound_loss = jnp.sum(viol * mask) / cnt
+            actor_loss = actor_loss + cfg.action_bound_weight * bound_loss
+        else:
+            bound_loss = 0.0
+
+        # discriminator on obs differences (add_agent.py:141-202)
+        disc_dim = batch["disc_obs"].shape[-1]
+        pos_input = jnp.zeros((1, disc_dim))
+        pos_logit = self.net.apply(params, pos_input, method=ADDNet.disc)
+
+        diff = batch["disc_obs_demo"] - batch["disc_obs"]
+        norm_diff = norm.diff_normalize(disc_norm, diff)
+
+        def disc_sum(x):
+            return jnp.sum(self.net.apply(params, x, method=ADDNet.disc))
+
+        neg_logit = self.net.apply(params, norm_diff, method=ADDNet.disc)
+        grad_in = jax.grad(disc_sum)(norm_diff)
+
+        # BCE with 0.9 / 0.1 label smoothing (amp_agent.py:177-185)
+        disc_loss_pos = jnp.mean(
+            optax.sigmoid_binary_cross_entropy(pos_logit, 0.9 * jnp.ones_like(pos_logit))
+        )
+        disc_loss_neg = jnp.mean(
+            optax.sigmoid_binary_cross_entropy(neg_logit, 0.1 * jnp.ones_like(neg_logit))
+        )
+        disc_loss = 0.5 * (disc_loss_pos + disc_loss_neg)
+
+        logit_w = params["params"]["disc_logit"]["kernel"]
+        disc_loss += cfg.disc_logit_reg * jnp.sum(jnp.square(logit_w))
+
+        grad_norm = jnp.sqrt(jnp.sum(jnp.square(grad_in), axis=-1) + 1e-8)
+        grad_penalty = jnp.mean(jnp.square(grad_norm - 1.0))
+        disc_loss += cfg.disc_grad_penalty * grad_penalty
+
+        if cfg.disc_weight_decay != 0:
+            wd = sum(
+                jnp.sum(jnp.square(params["params"]["disc_trunk"][k]["kernel"]))
+                for k in params["params"]["disc_trunk"]
+            ) + jnp.sum(jnp.square(logit_w))
+            disc_loss += cfg.disc_weight_decay * wd
+
+        loss = (
+            actor_loss
+            + cfg.critic_loss_weight * critic_loss
+            + cfg.disc_loss_weight * disc_loss
+        )
+
+        info = dict(
+            loss=loss, actor_loss=actor_loss, critic_loss=critic_loss,
+            disc_loss=disc_loss, clip_frac=clip_frac, imp_ratio=imp_ratio,
+            disc_grad_penalty=grad_penalty,
+            disc_pos_logit=jnp.mean(pos_logit),
+            disc_neg_logit=jnp.mean(neg_logit),
+            disc_pos_acc=jnp.mean(pos_logit > 0),
+            disc_neg_acc=jnp.mean(neg_logit < 0),
+            action_bound_loss=bound_loss,
+        )
+        return loss, info
+
+    # --------------------------------------------------------------- update
+
+    def update_model(self, ts: TrainState, data, key):
+        """Epoch/minibatch PPO+ADD updates.  Ref: ppo_agent.py:171-192."""
+        cfg = self.cfg
+        T, N = data["reward"].shape
+        flat = {
+            k: v.reshape((T * N,) + v.shape[2:])
+            for k, v in data.items()
+        }
+        num_batches = int(np.ceil(T / cfg.batch_size))
+        mb_size = (T * N) // num_batches
+
+        def epoch_fn(carry, key_e):
+            params, opt_state = carry
+            perm = jax.random.permutation(key_e, T * N)
+            idx = perm[: num_batches * mb_size].reshape(num_batches, mb_size)
+
+            def mb_fn(carry, mb_idx):
+                params, opt_state = carry
+                batch = {k: v[mb_idx] for k, v in flat.items()}
+                (loss, info), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, batch, ts.obs_norm, ts.disc_norm)
+                updates, opt_state = self.optimizer.update(
+                    grads, opt_state, params
+                )
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), info
+
+            (params, opt_state), infos = jax.lax.scan(mb_fn, (params, opt_state), idx)
+            return (params, opt_state), infos
+
+        keys = jax.random.split(key, cfg.update_epochs)
+        (params, opt_state), infos = jax.lax.scan(
+            epoch_fn, (ts.params, ts.opt_state), keys
+        )
+        mean_info = jax.tree_util.tree_map(jnp.mean, infos)
+        return replace(ts, params=params, opt_state=opt_state), mean_info
+
+    # ------------------------------------------------------------ train iter
+
+    @partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+    def train_iter(self, ts: TrainState, env_state: EnvState, obs, key):
+        """One full training iteration.  Ref: base_agent.py:353-374."""
+        cfg = self.cfg
+        k_roll, k_upd = jax.random.split(key)
+        env_state, obs, traj = self.rollout(
+            ts, env_state, obs, k_roll, cfg.steps_per_iter, train=True
+        )
+        ts, data, data_info = self.build_train_data(ts, traj)
+        ts, train_info = self.update_model(ts, data, k_upd)
+
+        # normalizer updates after the model update (base_agent.py:362-366)
+        update_norm = ts.sample_count < cfg.normalizer_samples
+        new_obs_norm = norm.update_normalizer(ts.obs_norm, traj["obs"])
+        obs_diff = traj["disc_obs_demo"] - traj["disc_obs"]
+        new_disc_norm = norm.update_diff_normalizer(ts.disc_norm, obs_diff)
+        ts = replace(
+            ts,
+            obs_norm=jax.tree_util.tree_map(
+                lambda new, old: jnp.where(update_norm, new, old),
+                new_obs_norm, ts.obs_norm,
+            ),
+            disc_norm=jax.tree_util.tree_map(
+                lambda new, old: jnp.where(update_norm, new, old),
+                new_disc_norm, ts.disc_norm,
+            ),
+            sample_count=ts.sample_count
+            + cfg.steps_per_iter * traj["reward"].shape[1],
+        )
+
+        T, N = data["reward"].shape
+        info = dict(data_info)
+        info.update(train_info)
+        info["mean_reward"] = jnp.mean(data["reward"])
+        info["mean_ep_len"] = 1.0 / jnp.maximum(
+            jnp.mean((traj["done"] != 0).astype(jnp.float32)), 1e-6
+        )
+        info["done_frac"] = jnp.mean((traj["done"] != 0).astype(jnp.float32))
+        info["fail_frac"] = jnp.mean(
+            (traj["done"] == int(DoneFlags.FAIL)).astype(jnp.float32)
+        )
+        return ts, env_state, obs, info
+
+    # ------------------------------------------------------------------ eval
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def eval_rollout(self, ts: TrainState, env_state, obs, num_steps, key):
+        """Deterministic (mode action) rollout for eval.
+
+        Returns per-step rewards and done flags; episode statistics are
+        computed host-side.  Ref: base_agent.py:393-425 (greedy policy).
+        """
+        env_state, obs, traj = self.rollout(
+            ts, env_state, obs, key, num_steps, train=False
+        )
+        return env_state, obs, traj["reward"], traj["done"]
+
+
+def td_lambda_return(r, next_vals, done, discount, td_lambda):
+    """TD(λ) return, reverse scan with reset masking.
+
+    Ref: base_agent.py:624-647.
+    """
+    reset = (done != int(DoneFlags.NULL)).astype(r.dtype)
+    last = r[-1] + discount * next_vals[-1]
+
+    def body(next_ret, xs):
+        r_t, reset_t, next_v = xs
+        lam = td_lambda * (1.0 - reset_t)
+        val = r_t + discount * ((1.0 - lam) * next_v + lam * next_ret)
+        return val, val
+
+    _, rets = jax.lax.scan(
+        body, last, (r[:-1], reset[:-1], next_vals[:-1]), reverse=True
+    )
+    return jnp.concatenate([rets, last[None]], axis=0)

@@ -1,0 +1,190 @@
+"""Host-side training orchestration: loop, eval, checkpoints, auto-resume.
+
+Equivalent of the reference's ``BaseAgent.train_model`` / ``test_model``
+host loop (base_agent.py:79-126) plus the checkpoint/spot-resume contract
+(SURVEY.md §5.4): periodic saves of {train_state, iter} with automatic
+resume from the latest checkpoint in the experiment directory.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from add_gym_tpu.builder import build_agent, build_env
+from add_gym_tpu.envs.done import DoneFlags
+from add_gym_tpu.parallel.mesh import make_mesh, replicate_tree, shard_env_tree
+from add_gym_tpu.utils.logger import TrainLogger
+
+
+def episode_stats(rewards: np.ndarray, dones: np.ndarray):
+    """Per-episode return / length statistics from time-major buffers.
+
+    Mirrors ReturnTracker (base_agent.py:564-621): returns accumulate per
+    env and flush at each done.
+    """
+    T, N = rewards.shape
+    ret = np.zeros(N)
+    length = np.zeros(N, np.int64)
+    ep_returns, ep_lens = [], []
+    for t in range(T):
+        ret += rewards[t]
+        length += 1
+        done = dones[t] != int(DoneFlags.NULL)
+        if done.any():
+            ep_returns.extend(ret[done].tolist())
+            ep_lens.extend(length[done].tolist())
+            ret[done] = 0.0
+            length[done] = 0
+    return ep_returns, ep_lens
+
+
+class Trainer:
+    def __init__(self, cfg: Dict, use_mesh: bool = True):
+        self.cfg = cfg
+        self.env = build_env(cfg)
+        self.agent = build_agent(cfg, self.env)
+        self.num_envs = int(cfg.get("engine", {}).get("num_envs", 256))
+        self.iters_per_output = int(cfg.get("iters_per_output", 100))
+        self.test_episodes = int(cfg.get("test_episodes", 10))
+        self.max_samples = int(cfg.get("max_samples", 10**14))
+        self.exp_dir = os.path.join(
+            cfg.get("log_dir", "logs/"), cfg.get("experiment_name", "exp")
+        )
+        self.logger = TrainLogger(self.exp_dir)
+        self.iter = 0
+
+        seed = int(cfg.get("seed", 0))
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), jax.process_index())
+        self._key = key
+
+        ts = self.agent.init_train_state()
+        es = self.env.init_state(self.num_envs)
+        k0, self._key = jax.random.split(self._key)
+        es = self.env.reset_where(
+            k0, es, jnp.ones(self.num_envs, bool), ts.sampler
+        )
+        obs = self.env.compute_obs(es)
+
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+            ts = replicate_tree(self.mesh, ts)
+            es = shard_env_tree(self.mesh, es)
+            obs = shard_env_tree(self.mesh, obs)
+        self.ts, self.es, self.obs = ts, es, obs
+
+        self._maybe_resume()
+
+    # ------------------------------------------------------------ checkpoint
+
+    def _ckpt_dir(self):
+        return os.path.abspath(os.path.join(self.exp_dir, "checkpoint"))
+
+    def save(self, path=None):
+        """Save {train_state, iter}.  Rank-0 only (base_agent.py:548-561)."""
+        if jax.process_index() != 0:
+            return
+        import orbax.checkpoint as ocp
+
+        path = path or self._ckpt_dir()
+        ckpter = ocp.StandardCheckpointer()
+        payload = {
+            "train_state": jax.device_get(self.ts),
+            "iter": self.iter,
+        }
+        ckpter.save(path, payload, force=True)
+        ckpter.wait_until_finished()
+
+    def load(self, path):
+        import orbax.checkpoint as ocp
+
+        ckpter = ocp.StandardCheckpointer()
+        target = {"train_state": jax.device_get(self.ts), "iter": 0}
+        payload = ckpter.restore(path, target=target)
+        ts = payload["train_state"]
+        if self.mesh is not None:
+            ts = replicate_tree(self.mesh, ts)
+        self.ts = ts
+        self.iter = int(payload["iter"])
+
+    def _maybe_resume(self):
+        """Auto-resume for spot restarts (main.py:92-105)."""
+        path = self._ckpt_dir()
+        if os.path.isdir(path):
+            self.load(path)
+            print(f"Resumed from {path} at iter {self.iter}")
+
+    # ---------------------------------------------------------------- train
+
+    def train(self, max_iters: int | None = None):
+        start = time.time()
+        test_info = {}
+        while int(jax.device_get(self.ts.sample_count)) < self.max_samples:
+            if max_iters is not None and self.iter >= max_iters:
+                break
+            output_iter = self.iter % self.iters_per_output == 0
+
+            if output_iter and self.test_episodes > 0:
+                test_info = self.evaluate(self.test_episodes)
+
+            k, self._key = jax.random.split(self._key)
+            self.ts, self.es, self.obs, info = self.agent.train_iter(
+                self.ts, self.es, self.obs, k
+            )
+
+            metrics = {k2: float(v) for k2, v in jax.device_get(info).items()}
+            metrics["wall_hours"] = (time.time() - start) / 3600.0
+            for k2, v in test_info.items():
+                metrics[f"test_{k2}"] = v
+            self.logger.log(metrics, int(jax.device_get(self.ts.sample_count)))
+
+            if output_iter:
+                self.save()
+            self.iter += 1
+        self.save()
+
+    # ----------------------------------------------------------------- eval
+
+    def evaluate(self, num_episodes: int) -> Dict:
+        """Greedy-policy evaluation.  Ref: base_agent.py:116-126,393-425.
+
+        Runs deterministic rollouts until every env has finished at least
+        ceil(num_episodes / num_envs) episodes (or an episode-length cap).
+        """
+        min_eps = int(np.ceil(num_episodes / self.num_envs))
+        chunk = 256
+        max_steps = int(
+            self.env.task.max_episode_length / self.env.ctrl_dt
+        ) + chunk
+        es, obs = self.es, self.obs
+
+        all_r, all_d = [], []
+        eps_per_env = np.zeros(self.num_envs, np.int64)
+        steps = 0
+        while steps < max_steps and not (eps_per_env >= min_eps).all():
+            k, self._key = jax.random.split(self._key)
+            es, obs, r, d = self.agent.eval_rollout(self.ts, es, obs, chunk, k)
+            r = np.asarray(jax.device_get(r))
+            d = np.asarray(jax.device_get(d))
+            all_r.append(r)
+            all_d.append(d)
+            eps_per_env += (d != int(DoneFlags.NULL)).sum(axis=0)
+            steps += chunk
+
+        rewards = np.concatenate(all_r, axis=0)
+        dones = np.concatenate(all_d, axis=0)
+        ep_returns, ep_lens = episode_stats(rewards, dones)
+        self.es, self.obs = es, obs
+        if not ep_returns:
+            return {"mean_return": 0.0, "mean_ep_len": float(steps), "num_eps": 0}
+        return {
+            "mean_return": float(np.mean(ep_returns)),
+            "mean_ep_len": float(np.mean(ep_lens)),
+            "num_eps": len(ep_returns),
+        }

@@ -66,6 +66,7 @@ class PhysicsModel:
     body_aabb: np.ndarray     # [nb, 2, 3]
 
     body_names: list
+    joint_names: list  # [nd] MJCF joint names (hinges, BFS order)
 
     @property
     def nb(self) -> int:
@@ -317,6 +318,7 @@ def build_physics_model(mjcf_path: str, char: CharModel | None = None) -> Physic
         cp_explicit=np.asarray(cp_explicit, bool),
         body_aabb=f32(body_aabb),
         body_names=list(char.body_names),
+        joint_names=[char.joint_names[i] for i in range(1, nb)],
     )
 
 

@@ -1,0 +1,152 @@
+"""Imitation environment tests: obs layout, reset semantics, done flags."""
+
+from dataclasses import replace
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from add_gym_tpu.builder import build_env
+from add_gym_tpu.envs.done import DoneFlags
+from add_gym_tpu.learning.sampler import init_sampler
+from add_gym_tpu.utils.config import load_config
+
+
+@pytest.fixture(scope="module")
+def env():
+    cfg = load_config("train")
+    cfg["engine"]["num_envs"] = 4
+    cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
+    return build_env(cfg)
+
+
+@pytest.fixture(scope="module")
+def sampler(env):
+    return init_sampler(env.motion.num_motions, env.task.sampler_num_segments)
+
+
+def test_obs_dims(env):
+    # char obs 36 (root_h 1 + tan-norm 6 + dof 29) + tar obs 6*(3+6+29)=228
+    assert env.obs_dim() == 264
+    # disc obs: 3 steps x (root_pos 3 + tan-norm 6 + dof 29)
+    assert env.disc_obs_dim() == 114
+
+
+def test_reset_matches_reference_frame(env, sampler):
+    key = jax.random.PRNGKey(0)
+    es = env.init_state(4)
+    es = env.reset_where(key, es, jnp.ones(4, bool), sampler)
+
+    # sim state teleported to the sampled reference frame
+    # (add_observation.py:308-332)
+    mt = es.time + es.motion_offsets
+    rp, rr, rv, rav, dp, dv = env.motion.get_motion_step(es.motion_ids, mt)
+    np.testing.assert_allclose(es.sim.root_pos, rp, atol=1e-5)
+    np.testing.assert_allclose(es.sim.root_quat, rr, atol=1e-5)
+    np.testing.assert_allclose(es.sim.dof_vel, dv, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(es.time), 0.0)
+
+    # disc history prefilled from demo, newest slot == current frame
+    np.testing.assert_allclose(es.hist_root_pos[:, -1], rp, atol=1e-5)
+    np.testing.assert_allclose(es.hist_dof_pos[:, -1], dp, atol=1e-4)
+
+    obs = env.compute_obs(es)
+    assert obs.shape == (4, 264)
+    assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_masked_reset_only_touches_masked(env, sampler):
+    key = jax.random.PRNGKey(1)
+    es = env.reset_where(key, env.init_state(4), jnp.ones(4, bool), sampler)
+    mask = jnp.array([True, False, False, False])
+    es2 = env.reset_where(jax.random.PRNGKey(2), es, mask, sampler)
+    # envs 1..3 unchanged
+    np.testing.assert_array_equal(es.sim.root_pos[1:], es2.sim.root_pos[1:])
+    np.testing.assert_array_equal(es.motion_offsets[1:], es2.motion_offsets[1:])
+
+
+def test_step_reward_high_when_tracking(env, sampler):
+    """Stepping from the reference pose with PD targets = ref dof pos keeps
+    the tracking reward near its maximum for a few steps."""
+    key = jax.random.PRNGKey(3)
+    es = env.reset_where(key, env.init_state(4), jnp.ones(4, bool), sampler)
+    stp = jax.jit(env.step)
+    r_total = 0
+    for i in range(5):
+        mt = es.time + es.motion_offsets + env.ctrl_dt
+        target = env.motion.get_motion_step(es.motion_ids, mt)[4]
+        es, obs, dobs, ddemo, r, done = stp(es, target)
+        r_total = r
+    # reward weights sum to 0.85; near-perfect tracking stays close
+    assert float(jnp.min(r_total)) > 0.5
+    assert not bool(jnp.any(done != int(DoneFlags.NULL)))
+
+
+def test_disc_obs_demo_matches_history_at_reset(env, sampler):
+    """Right after reset, agent disc obs == demo disc obs (history was
+    prefilled from the demo window) so the ADD obs-diff is zero."""
+    es = env.reset_where(
+        jax.random.PRNGKey(4), env.init_state(4), jnp.ones(4, bool), sampler
+    )
+    disc_obs = env._disc_obs_from_hist(es)
+    mt = es.time + es.motion_offsets
+    disc_demo = env._disc_obs_demo(es.motion_ids, mt)
+    np.testing.assert_allclose(disc_obs, disc_demo, atol=1e-4)
+
+
+def test_done_time_flag(env, sampler):
+    es = env.reset_where(
+        jax.random.PRNGKey(5), env.init_state(4), jnp.ones(4, bool), sampler
+    )
+    es = replace(es, time=jnp.full(4, env.task.max_episode_length + 1.0))
+    mt = es.time + es.motion_offsets
+    ref = env.motion.get_motion_step(es.motion_ids, mt)
+    from add_gym_tpu.envs.done import compute_done
+    from add_gym_tpu.motion.motion_file import LoopMode
+
+    done = compute_done(
+        es.time, es.sim.root_pos, es.sim.dof_pos, ref[0], ref[4],
+        jnp.zeros((4, env.model.nb)), mt,
+        env.motion.get_motion_length(es.motion_ids),
+        env.motion.get_motion_loop_mode(es.motion_ids) != int(LoopMode.WRAP),
+        ep_len=env.task.max_episode_length,
+        noncontact_body_mask=env.noncontact_mask,
+        pose_termination=False, pose_termination_dist=1.0,
+        enable_early_termination=False, track_root=False,
+    )
+    assert (np.asarray(done) == int(DoneFlags.TIME)).all()
+
+
+def test_done_fail_on_bad_contact(env, sampler):
+    es = env.reset_where(
+        jax.random.PRNGKey(6), env.init_state(4), jnp.ones(4, bool), sampler
+    )
+    contact = jnp.zeros((4, env.model.nb))
+    pelvis = env.model.body_names.index("pelvis")
+    contact = contact.at[:2, pelvis].set(100.0)  # pelvis touching ground
+    mt = es.time + es.motion_offsets
+    ref = env.motion.get_motion_step(es.motion_ids, mt)
+    from add_gym_tpu.envs.done import compute_done
+    from add_gym_tpu.motion.motion_file import LoopMode
+
+    done = compute_done(
+        jnp.full(4, 1.0), es.sim.root_pos, es.sim.dof_pos, ref[0], ref[4],
+        contact, mt,
+        env.motion.get_motion_length(es.motion_ids),
+        env.motion.get_motion_loop_mode(es.motion_ids) != int(LoopMode.WRAP),
+        ep_len=env.task.max_episode_length,
+        noncontact_body_mask=env.noncontact_mask,
+        pose_termination=False, pose_termination_dist=1.0,
+        enable_early_termination=True, track_root=True,
+    )
+    assert (np.asarray(done[:2]) == int(DoneFlags.FAIL)).all()
+    assert (np.asarray(done[2:]) == int(DoneFlags.NULL)).all()
+
+
+def test_allowed_contact_bodies_do_not_fail(env):
+    # knees and ankles are allowed contacts (configs/task/pose.yaml)
+    for name in env.task.contact_bodies:
+        assert not env.noncontact_mask[env.model.body_names.index(name)]
+    assert env.noncontact_mask[env.model.body_names.index("pelvis")]
+    assert env.noncontact_mask[env.model.body_names.index("torso_link")]
