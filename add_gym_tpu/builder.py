@@ -12,6 +12,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from add_gym_tpu.envs.domain_rand import DRConfig
 from add_gym_tpu.envs.imitation import ImitationEnv, TaskConfig
 from add_gym_tpu.kinematics.char_model import load_char_model
 from add_gym_tpu.learning.add_agent import ADDAgent, AgentConfig
@@ -100,7 +101,18 @@ def build_env(cfg: Dict) -> ImitationEnv:
         sampler_num_segments=int(sampler_cfg.get("num_segments", 20)),
         sampler_temperature=sampler_cfg.get("temperature"),
     )
-    return ImitationEnv(model, motion, params, task)
+    dr_cfg = engine_cfg.get("domain_rand", {}) or {}
+    dr = DRConfig(
+        enabled=bool(dr_cfg.get("enabled", False)),
+        kp_scale_range=tuple(dr_cfg.get("kp_scale_range", (0.8, 1.2))),
+        kv_scale_range=tuple(dr_cfg.get("kv_scale_range", (0.8, 1.2))),
+        friction_range=tuple(dr_cfg.get("friction_range", (0.6, 1.4))),
+    )
+    return ImitationEnv(
+        model, motion, params, task,
+        fused=bool(engine_cfg.get("fused", True)),
+        dr=dr,
+    )
 
 
 def build_agent(cfg: Dict, env: ImitationEnv, key=None) -> ADDAgent:

@@ -1,0 +1,52 @@
+"""Domain randomization: per-env physics perturbations, resampled at reset.
+
+The reference has no DR (its engines share one compiled model across all
+envs), but the parity brief's pod-scale config calls for a domain-randomized
+G1 (BASELINE.md configs[5]).  The TPU-native design makes DR cheap: PD
+gains and ground friction become per-env *data* (EngineParams leaves), so
+randomization is a masked resample inside the jitted reset — no recompiles,
+no host round-trips.
+
+Randomized quantities (log-uniform scales around 1):
+- ``kp_scale`` / ``kv_scale`` — PD gain multipliers (actuator strength)
+- ``friction`` — ground Coulomb friction coefficient (absolute value)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class DRConfig:
+    enabled: bool = False
+    kp_scale_range: tuple = (0.8, 1.2)
+    kv_scale_range: tuple = (0.8, 1.2)
+    friction_range: tuple = (0.6, 1.4)
+
+
+def init_dr_state(num_envs: int):
+    """Identity perturbations: {kp_scale, kv_scale, friction_mu} each [N]."""
+    ones = jnp.ones(num_envs)
+    return dict(kp_scale=ones, kv_scale=ones, friction_mu=ones)
+
+
+def sample_dr(key, cfg: DRConfig, num_envs: int):
+    """Fresh per-env perturbations (log-uniform within the config ranges)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    def logu(k, lo, hi):
+        return jnp.exp(
+            jax.random.uniform(
+                k, (num_envs,), minval=jnp.log(lo), maxval=jnp.log(hi)
+            )
+        )
+
+    return dict(
+        kp_scale=logu(k1, *cfg.kp_scale_range),
+        kv_scale=logu(k2, *cfg.kv_scale_range),
+        friction_mu=logu(k3, *cfg.friction_range),
+    )

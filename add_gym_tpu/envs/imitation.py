@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 import add_gym_tpu.mathx.rotations as rot
 from add_gym_tpu.envs import obs as obs_mod
+from add_gym_tpu.envs.domain_rand import DRConfig, init_dr_state, sample_dr
 from add_gym_tpu.envs.done import DoneFlags, compute_done
 from add_gym_tpu.envs.reward import compute_reward
 from add_gym_tpu.kinematics.char_model import CharModel
@@ -83,6 +84,8 @@ class EnvState:
     hist_root_ang_vel: jnp.ndarray  # [N, H, 3]
     hist_dof_pos: jnp.ndarray    # [N, H, D]
     hist_dof_vel: jnp.ndarray    # [N, H, D]
+    # per-env domain-randomization state {kp_scale, kv_scale, friction_mu}
+    dr: dict
 
 
 class ImitationEnv:
@@ -98,12 +101,28 @@ class ImitationEnv:
         motion: MotionLib,
         engine_params: EngineParams,
         task: TaskConfig = TaskConfig(),
+        fused: bool = True,
+        dr: DRConfig = DRConfig(),
     ):
         self.model = model
         self.motion = motion
         self.params = engine_params
         self.task = task
+        self.dr = dr
         self.ctrl_dt = engine_params.ctrl_dt
+        # SoA fused physics step (physics/fused_step.py): identical math to
+        # engine.step, ~11x faster on TPU (env-minor layout avoids tile
+        # padding).  Parity pinned by tests/test_fused_step.py.
+        self.fused = fused
+        if fused:
+            from add_gym_tpu.physics.fused_step import (
+                FusedModelConstants, fused_step,
+            )
+
+            self._fc = FusedModelConstants(model)
+            self._step_fn = lambda p, s, t: fused_step(self._fc, p, s, t)
+        else:
+            self._step_fn = lambda p, s, t: engine_step(self.model, p, s, t)
 
         contact_set = set(task.contact_bodies)
         self.noncontact_mask = np.array(
@@ -165,6 +184,7 @@ class ImitationEnv:
             hist_root_ang_vel=z(H, 3),
             hist_dof_pos=z(H, D),
             hist_dof_vel=z(H, D),
+            dr=init_dr_state(num_envs),
         )
 
     # ----------------------------------------------------------------- steps
@@ -172,12 +192,26 @@ class ImitationEnv:
     def motion_times(self, state: EnvState):
         return state.time + state.motion_offsets
 
+    def _effective_params(self, state: EnvState) -> EngineParams:
+        """Apply per-env domain-randomization scales to the engine params."""
+        if not self.dr.enabled:
+            return self.params
+        dr = state.dr
+        return replace(
+            self.params,
+            kp=self.params.kp[None, :] * dr["kp_scale"][:, None],
+            kv=self.params.kv[None, :] * dr["kv_scale"][:, None],
+            friction_mu=jnp.asarray(self.params.friction_mu) * dr["friction_mu"],
+        )
+
     def step(self, state: EnvState, pd_target):
         """Physics step + task update.  Ref flow: add_agent.py:204-219.
 
         Returns (state, obs, disc_obs, disc_obs_demo, reward, done).
         """
-        sim, body_contact = engine_step(self.model, self.params, state.sim, pd_target)
+        sim, body_contact = self._step_fn(
+            self._effective_params(state), state.sim, pd_target
+        )
         time = state.time + self.ctrl_dt
         state = replace(state, sim=sim, time=time)
 
@@ -335,9 +369,13 @@ class ImitationEnv:
         a sampled reference pose, prefill disc history from demo.
         """
         N = state.time.shape[0]
-        k1, k2 = jax.random.split(key)
+        k1, k2, k_dr = jax.random.split(key, 3)
         ids = self.motion.sample_motions(k1, N)
         times = self._sample_times(k2, ids, sampler_state)
+        dr = (
+            sample_dr(k_dr, self.dr, N) if self.dr.enabled
+            else init_dr_state(N)
+        )
 
         rp, rr, rv, rav, dp, dv = self.motion.get_motion_step(ids, times)
         hist = self._demo_window(ids, times)
@@ -365,6 +403,7 @@ class ImitationEnv:
             hist_root_ang_vel=hist[3],
             hist_dof_pos=hist[4],
             hist_dof_vel=hist[5],
+            dr=dr,
         )
         pick = lambda new, old: jnp.where(
             mask.reshape((N,) + (1,) * (new.ndim - 1)), new, old

@@ -45,8 +45,9 @@ class MotionClip:
 
 def load_motion(path: str) -> MotionClip:
     if path.endswith(".motion"):
-        frames = np.loadtxt(path, delimiter=",", dtype=np.float64)
-        frames = np.atleast_2d(frames)
+        from add_gym_tpu import native
+
+        frames = np.atleast_2d(native.parse_motion_csv(path))
         return MotionClip(loop_mode=LoopMode.CLAMP, fps=DEFAULT_FPS, frames=frames)
     with open(path, "rb") as f:
         d = pickle.load(f)

@@ -43,6 +43,7 @@ class MotionLib:
     loop_modes: jnp.ndarray     # [M] int (LoopMode)
     num_steps: jnp.ndarray      # [M] steps in the per-dt table
     start_idx: jnp.ndarray      # [M] offset into the flat step tables
+    root_pos_delta: jnp.ndarray  # [M, 3] per-loop root displacement (WRAP)
 
     step_root_pos: jnp.ndarray      # [S, 3]
     step_root_rot: jnp.ndarray      # [S, 4] wxyz
@@ -65,13 +66,28 @@ class MotionLib:
         Ref: motion_lib.py:322-335.  Unlike the reference we clamp the frame
         index *per motion* (the reference clamps against the whole flat table,
         which can read one frame into the next clip at episode end).
+
+        WRAP clips loop: time wraps modulo the clip length and the root
+        position accumulates the per-loop displacement
+        (ref: motion_lib.py:133-150 ``_calc_loop_offset``).
         """
-        frame = jnp.floor(motion_times * self.dt_inv).astype(jnp.int32)
+        length = self.lengths[motion_ids]
+        wrap = self.loop_modes[motion_ids] == int(LoopMode.WRAP)
+        loops = jnp.floor(jnp.maximum(motion_times, 0.0) / length)
+        t = jnp.where(wrap, motion_times - loops * length, motion_times)
+
+        frame = jnp.floor(t * self.dt_inv).astype(jnp.int32)
         max_frame = self.num_steps[motion_ids] - 1
         frame = jnp.clip(frame, 0, max_frame)
         idx = frame + self.start_idx[motion_ids]
+
+        offset = jnp.where(
+            wrap[..., None],
+            loops[..., None] * self.root_pos_delta[motion_ids],
+            0.0,
+        )
         return (
-            self.step_root_pos[idx],
+            self.step_root_pos[idx] + offset,
             self.step_root_rot[idx],
             self.step_root_vel[idx],
             self.step_root_ang_vel[idx],
@@ -173,6 +189,7 @@ def _load_on_host(files, weights, col_map, char, dt) -> MotionLib:
     loop_modes: List[int] = []
     tables = {k: [] for k in ("rp", "rr", "rv", "rav", "dp", "dv")}
     num_steps: List[int] = []
+    root_pos_delta: List[np.ndarray] = []
 
     for path in files:
         clip = load_motion(path)
@@ -212,6 +229,9 @@ def _load_on_host(files, weights, col_map, char, dt) -> MotionLib:
         lengths.append(length)
         loop_modes.append(int(clip.loop_mode))
         num_steps.append(int(times.shape[0]))
+        root_pos_delta.append(
+            np.asarray(root_pos[-1] - root_pos[0], np.float32)
+        )
 
     w = np.asarray(weights, np.float32)
     w = w / w.sum()
@@ -227,6 +247,7 @@ def _load_on_host(files, weights, col_map, char, dt) -> MotionLib:
         loop_modes=jnp.asarray(loop_modes, jnp.int32),
         num_steps=jnp.asarray(num_steps_arr),
         start_idx=jnp.asarray(start_idx),
+        root_pos_delta=jnp.asarray(np.stack(root_pos_delta)),
         step_root_pos=jnp.concatenate(tables["rp"]),
         step_root_rot=jnp.concatenate(tables["rr"]),
         step_root_vel=jnp.concatenate(tables["rv"]),

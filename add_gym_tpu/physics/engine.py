@@ -55,8 +55,8 @@ class EngineParams:
     where shapes allow).  Scalar knobs that change compilation (substeps, dt)
     are static."""
 
-    kp: jnp.ndarray                 # [nd]
-    kv: jnp.ndarray                 # [nd]
+    kp: jnp.ndarray                 # [nd] or [N, nd] (domain randomization)
+    kv: jnp.ndarray                 # [nd] or [N, nd]
     ctrl_dt: float = field(metadata=dict(static=True), default=0.01)
     substeps: int = field(metadata=dict(static=True), default=4)
     max_torque: float = field(metadata=dict(static=True), default=200.0)
@@ -65,7 +65,9 @@ class EngineParams:
     # contact model (normal spring-damper per unit effective mass)
     contact_timeconst: float = field(metadata=dict(static=True), default=0.02)
     contact_dampratio: float = field(metadata=dict(static=True), default=1.0)
-    friction_mu: float = field(metadata=dict(static=True), default=1.0)
+    # friction is a data leaf (scalar or [N] per-env) so domain randomization
+    # does not trigger recompiles
+    friction_mu: jnp.ndarray | float = 1.0
     friction_vslip: float = field(metadata=dict(static=True), default=0.05)
     gravity: float = field(metadata=dict(static=True), default=9.81)
 
@@ -180,7 +182,9 @@ def contact_forces(
     # corner lever arm would otherwise spin light links unstably)
     stick_mass = jnp.where(explicit, cp_mass_local, cp_mass_stab)
     f_stick = stick_mass * speed / dt
-    f_t_mag = jnp.minimum(params.friction_mu * fn, f_stick)
+    mu = jnp.asarray(params.friction_mu)
+    mu = mu[:, None] if mu.ndim == 1 else mu       # [N] per-env DR -> [N, 1]
+    f_t_mag = jnp.minimum(mu * fn, f_stick)
     f_t = -(f_t_mag / speed)[..., None] * v_t
 
     f_w = jnp.concatenate([f_t, fn[..., None]], axis=-1)       # [N, P, 3]

@@ -23,7 +23,7 @@ from typing import List
 import numpy as np
 
 from add_gym_tpu.kinematics.char_model import CharModel, JointType, load_char_model
-from add_gym_tpu.physics.stl import stl_aabb
+from add_gym_tpu.native import stl_aabb
 
 
 @dataclass(frozen=True)

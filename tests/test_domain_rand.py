@@ -1,0 +1,71 @@
+"""Domain randomization: per-env perturbations sampled at reset, no recompiles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from add_gym_tpu.builder import build_env
+from add_gym_tpu.learning.sampler import init_sampler
+from add_gym_tpu.utils.config import load_config
+
+
+@pytest.fixture(scope="module")
+def env():
+    cfg = load_config("train")
+    cfg["engine"]["num_envs"] = 8
+    cfg["engine"]["fused"] = False  # fast compile on the 1-core CPU host
+    cfg["engine"]["domain_rand"] = {
+        "enabled": True,
+        "kp_scale_range": [0.5, 2.0],
+        "friction_range": [0.3, 1.5],
+    }
+    cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
+    return build_env(cfg)
+
+
+def test_dr_sampled_at_reset(env):
+    sampler = init_sampler(env.motion.num_motions, env.task.sampler_num_segments)
+    es = env.init_state(8)
+    np.testing.assert_allclose(np.asarray(es.dr["kp_scale"]), 1.0)
+
+    es = env.reset_where(jax.random.PRNGKey(0), es, jnp.ones(8, bool), sampler)
+    kp = np.asarray(es.dr["kp_scale"])
+    fric = np.asarray(es.dr["friction_mu"])
+    assert kp.std() > 0.05 and fric.std() > 0.05
+    assert (kp >= 0.5).all() and (kp <= 2.0).all()
+    assert (fric >= 0.3).all() and (fric <= 1.5).all()
+
+    # masked reset resamples only the masked envs
+    mask = jnp.zeros(8, bool).at[0].set(True)
+    es2 = env.reset_where(jax.random.PRNGKey(1), es, mask, sampler)
+    kp2 = np.asarray(es2.dr["kp_scale"])
+    np.testing.assert_allclose(kp2[1:], kp[1:])
+
+
+def test_dr_step_runs_and_differs(env):
+    """Stepping with different per-env gains produces different dynamics."""
+    sampler = init_sampler(env.motion.num_motions, env.task.sampler_num_segments)
+    es = env.init_state(8)
+    es = env.reset_where(jax.random.PRNGKey(0), es, jnp.ones(8, bool), sampler)
+    # same initial pose for all envs (env 0's), different DR
+    pick0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[0:1], x.shape), es
+    )
+    es = jax.tree_util.tree_map(
+        lambda a, b: b, es, pick0
+    )
+    assert float(np.asarray(es.dr["kp_scale"]).std()) == 0.0  # broadcast wiped DR
+    # restore distinct DR
+    from add_gym_tpu.envs.domain_rand import sample_dr
+
+    es = type(es)(**{**es.__dict__, "dr": sample_dr(jax.random.PRNGKey(7), env.dr, 8)})
+
+    tgt = es.sim.dof_pos + 0.3
+    step = jax.jit(env.step)
+    out = es
+    for _ in range(5):
+        out, obs, *_ = step(out, tgt)
+    dof = np.asarray(out.sim.dof_pos)
+    # identical states + different gains -> different joint trajectories
+    assert np.abs(dof - dof[0]).max() > 1e-4

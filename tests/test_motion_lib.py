@@ -122,3 +122,31 @@ def test_gather_jits_in_scan(lib):
 
     _, traj = jax.jit(lambda: jax.lax.scan(body, 0, jnp.arange(0.0, 1.0, 0.1)))()
     assert traj.shape == (10, 4, 3)
+
+
+def test_wrap_loop_mode(char, motion_order, tmp_path):
+    """WRAP clips wrap time and accumulate the per-loop root displacement
+    (ref: motion_lib.py:133-150 _calc_loop_offset)."""
+    from add_gym_tpu.motion.motion_file import LoopMode, MotionClip
+
+    clip = load_motion(asset_path(CLIP))
+    wrapped = MotionClip(loop_mode=LoopMode.WRAP, fps=clip.fps, frames=clip.frames)
+    p = tmp_path / "wrap.pkl"
+    wrapped.save(str(p))
+    lib = load_motion_lib(str(p), motion_order, char, dt=0.01)
+
+    length = float(lib.lengths[0])
+    ids = jnp.zeros(3, jnp.int32)
+    t_in = jnp.array([0.5, 0.5 + length, 0.5 + 2 * length])
+    rp, rr, _, _, dp, _ = lib.get_motion_step(ids, t_in)
+
+    delta = np.asarray(lib.root_pos_delta[0])
+    # same wrapped frame -> same pose, offset root position
+    np.testing.assert_allclose(np.asarray(rr[1]), np.asarray(rr[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp[2]), np.asarray(dp[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rp[1] - rp[0]), delta, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rp[2] - rp[0]), 2 * delta, atol=1e-5)
+
+    # phase wraps
+    ph = lib.calc_motion_phase(ids, t_in)
+    np.testing.assert_allclose(np.asarray(ph), np.asarray(ph[0]).repeat(3), atol=1e-4)
