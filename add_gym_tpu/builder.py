@@ -141,6 +141,7 @@ def build_agent(cfg: Dict, env: ImitationEnv, key=None) -> ADDAgent:
         action_std=float(a.get("action_std", 0.05)),
         exp_prob=float(a.get("exp_prob", 1.0)),
         normalizer_samples=float(a.get("normalizer_samples", 1e8)),
+        disc_mode=a.get("disc_mode", "add"),
         actor_net=a.get("actor_net", "fc_3layers_1024units"),
         critic_net=a.get("critic_net", "fc_3layers_1024units"),
         disc_net=a.get("disc_net", "fc_2layers_1024units"),

@@ -58,6 +58,13 @@ class AgentConfig:
     action_std: float = 0.05
     exp_prob: float = 1.0
     normalizer_samples: float = 1e8
+    # discriminator mode (reference agent hierarchy, SURVEY.md §2.4):
+    #   "add"  — ADDAgent: disc on normalized obs *differences*, zero-vector
+    #            positives (add_agent.py:62-67,144-178)
+    #   "amp"  — AMPAgent: disc on obs directly, demo positives / agent
+    #            negatives (amp_agent.py:98-206)
+    #   "none" — plain PPOAgent: no discriminator, task reward only
+    disc_mode: str = "add"
     actor_net: str = "fc_3layers_1024units"
     critic_net: str = "fc_3layers_1024units"
     disc_net: str = "fc_2layers_1024units"
@@ -81,12 +88,14 @@ class ADDAgent:
     def __init__(self, env: ImitationEnv, cfg: AgentConfig, key):
         self.env = env
         self.cfg = cfg
+        assert cfg.disc_mode in ("add", "amp", "none"), cfg.disc_mode
         self.net = ADDNet(
             action_dim=env.num_dofs,
             actor_net=cfg.actor_net,
             critic_net=cfg.critic_net,
             disc_net=cfg.disc_net,
             actor_init_output_scale=cfg.actor_init_output_scale,
+            enable_disc=cfg.disc_mode != "none",
         )
         self.logstd = float(np.log(cfg.action_std))
 
@@ -113,11 +122,17 @@ class ADDAgent:
         params = self.net.init(
             k1, jnp.zeros((1, obs_dim)), jnp.zeros((1, disc_dim))
         )
+        # "add" normalizes obs *differences* by mean-|x| (DiffNormalizer);
+        # "amp" normalizes disc obs with a running mean/std Normalizer
+        if self.cfg.disc_mode == "amp":
+            disc_norm = norm.init_normalizer((disc_dim,))
+        else:
+            disc_norm = norm.init_diff_normalizer((disc_dim,))
         return TrainState(
             params=params,
             opt_state=self.optimizer.init(params),
             obs_norm=norm.init_normalizer((obs_dim,)),
-            disc_norm=norm.init_diff_normalizer((disc_dim,)),
+            disc_norm=disc_norm,
             sampler=sampler_mod.init_sampler(
                 self.env.motion.num_motions, self.env.task.sampler_num_segments
             ),
@@ -186,9 +201,12 @@ class ADDAgent:
 
     def _disc_reward(self, params, disc_norm, disc_obs, disc_demo):
         """Ref: add_agent.py:135-139 + amp_agent.py:194-206."""
-        diff = disc_demo - disc_obs
-        norm_diff = norm.diff_normalize(disc_norm, diff)
-        logits = self.net.apply(params, norm_diff, method=ADDNet.disc)
+        if self.cfg.disc_mode == "amp":
+            disc_in = norm.normalize(disc_norm, disc_obs)
+        else:
+            diff = disc_demo - disc_obs
+            disc_in = norm.diff_normalize(disc_norm, diff)
+        logits = self.net.apply(params, disc_in, method=ADDNet.disc)
         prob = jax.nn.sigmoid(logits)
         r = -jnp.log(jnp.maximum(1.0 - prob, 1e-4))
         return r * self.cfg.disc_reward_scale
@@ -201,10 +219,14 @@ class ADDAgent:
         """
         cfg = self.cfg
         task_r = traj["reward"]
-        disc_r = self._disc_reward(
-            ts.params, ts.disc_norm, traj["disc_obs"], traj["disc_obs_demo"]
-        )
-        r = cfg.task_reward_weight * task_r + cfg.disc_reward_weight * disc_r
+        if cfg.disc_mode == "none":
+            disc_r = jnp.zeros_like(task_r)
+            r = cfg.task_reward_weight * task_r
+        else:
+            disc_r = self._disc_reward(
+                ts.params, ts.disc_norm, traj["disc_obs"], traj["disc_obs_demo"]
+            )
+            r = cfg.task_reward_weight * task_r + cfg.disc_reward_weight * disc_r
 
         # adaptive sampler error update (add_agent.py:117-122)
         diff = traj["disc_obs"] - traj["disc_obs_demo"]
@@ -287,21 +309,50 @@ class ADDAgent:
         else:
             bound_loss = 0.0
 
-        # discriminator on obs differences (add_agent.py:141-202)
-        disc_dim = batch["disc_obs"].shape[-1]
-        pos_input = jnp.zeros((1, disc_dim))
-        pos_logit = self.net.apply(params, pos_input, method=ADDNet.disc)
+        loss = actor_loss + cfg.critic_loss_weight * critic_loss
+        info = dict(
+            actor_loss=actor_loss, critic_loss=critic_loss,
+            clip_frac=clip_frac, imp_ratio=imp_ratio,
+            action_bound_loss=bound_loss,
+        )
 
-        diff = batch["disc_obs_demo"] - batch["disc_obs"]
-        norm_diff = norm.diff_normalize(disc_norm, diff)
+        if cfg.disc_mode != "none":
+            disc_loss, disc_info = self._disc_loss(params, batch, disc_norm)
+            loss = loss + cfg.disc_loss_weight * disc_loss
+            info.update(disc_info)
+
+        info["loss"] = loss
+        return loss, info
+
+    def _disc_loss(self, params, batch, disc_norm):
+        """Discriminator loss.
+
+        "add" (add_agent.py:141-202): positive = zero difference vector,
+        negative = normalized (demo - agent) difference, grad penalty on the
+        negative input.
+        "amp" (amp_agent.py:98-175): positive = normalized demo obs,
+        negative = normalized agent obs, grad penalty on the demo input.
+        Both use BCE with 0.9/0.1 label smoothing (amp_agent.py:177-185).
+        """
+        cfg = self.cfg
 
         def disc_sum(x):
             return jnp.sum(self.net.apply(params, x, method=ADDNet.disc))
 
-        neg_logit = self.net.apply(params, norm_diff, method=ADDNet.disc)
-        grad_in = jax.grad(disc_sum)(norm_diff)
+        if cfg.disc_mode == "amp":
+            pos_input = norm.normalize(disc_norm, batch["disc_obs_demo"])
+            neg_input = norm.normalize(disc_norm, batch["disc_obs"])
+            grad_in = jax.grad(disc_sum)(pos_input)
+        else:
+            disc_dim = batch["disc_obs"].shape[-1]
+            pos_input = jnp.zeros((1, disc_dim))
+            diff = batch["disc_obs_demo"] - batch["disc_obs"]
+            neg_input = norm.diff_normalize(disc_norm, diff)
+            grad_in = jax.grad(disc_sum)(neg_input)
 
-        # BCE with 0.9 / 0.1 label smoothing (amp_agent.py:177-185)
+        pos_logit = self.net.apply(params, pos_input, method=ADDNet.disc)
+        neg_logit = self.net.apply(params, neg_input, method=ADDNet.disc)
+
         disc_loss_pos = jnp.mean(
             optax.sigmoid_binary_cross_entropy(pos_logit, 0.9 * jnp.ones_like(pos_logit))
         )
@@ -324,23 +375,15 @@ class ADDAgent:
             ) + jnp.sum(jnp.square(logit_w))
             disc_loss += cfg.disc_weight_decay * wd
 
-        loss = (
-            actor_loss
-            + cfg.critic_loss_weight * critic_loss
-            + cfg.disc_loss_weight * disc_loss
-        )
-
         info = dict(
-            loss=loss, actor_loss=actor_loss, critic_loss=critic_loss,
-            disc_loss=disc_loss, clip_frac=clip_frac, imp_ratio=imp_ratio,
+            disc_loss=disc_loss,
             disc_grad_penalty=grad_penalty,
             disc_pos_logit=jnp.mean(pos_logit),
             disc_neg_logit=jnp.mean(neg_logit),
             disc_pos_acc=jnp.mean(pos_logit > 0),
             disc_neg_acc=jnp.mean(neg_logit < 0),
-            action_bound_loss=bound_loss,
         )
-        return loss, info
+        return disc_loss, info
 
     # --------------------------------------------------------------- update
 
@@ -398,8 +441,13 @@ class ADDAgent:
         # normalizer updates after the model update (base_agent.py:362-366)
         update_norm = ts.sample_count < cfg.normalizer_samples
         new_obs_norm = norm.update_normalizer(ts.obs_norm, traj["obs"])
-        obs_diff = traj["disc_obs_demo"] - traj["disc_obs"]
-        new_disc_norm = norm.update_diff_normalizer(ts.disc_norm, obs_diff)
+        if cfg.disc_mode == "amp":
+            # running stats over both agent and demo disc obs (amp_agent.py)
+            both = jnp.concatenate([traj["disc_obs"], traj["disc_obs_demo"]], axis=0)
+            new_disc_norm = norm.update_normalizer(ts.disc_norm, both)
+        else:
+            obs_diff = traj["disc_obs_demo"] - traj["disc_obs"]
+            new_disc_norm = norm.update_diff_normalizer(ts.disc_norm, obs_diff)
         ts = replace(
             ts,
             obs_norm=jax.tree_util.tree_map(

@@ -57,13 +57,16 @@ class MLP(nn.Module):
 
 
 class ADDNet(nn.Module):
-    """Actor + critic + discriminator, mirroring ADDModel (add_model.py)."""
+    """Actor + critic [+ discriminator], mirroring the reference model
+    hierarchy (PPOModel -> ADDModel, ppo_model.py / add_model.py).  With
+    ``enable_disc=False`` this is a plain PPO model (no disc parameters)."""
 
     action_dim: int
     actor_net: str = "fc_3layers_1024units"
     critic_net: str = "fc_3layers_1024units"
     disc_net: str = "fc_2layers_1024units"
     actor_init_output_scale: float = 0.01
+    enable_disc: bool = True
 
     def setup(self):
         self.actor_trunk = MLP(NET_REGISTRY[self.actor_net])
@@ -76,12 +79,13 @@ class ADDNet(nn.Module):
         self.critic_out = nn.Dense(
             1, kernel_init=_torch_linear_init, bias_init=nn.initializers.zeros
         )
-        self.disc_trunk = MLP(NET_REGISTRY[self.disc_net])
-        self.disc_logit = nn.Dense(
-            1,
-            kernel_init=_sym_uniform(1.0),
-            bias_init=nn.initializers.zeros,
-        )
+        if self.enable_disc:
+            self.disc_trunk = MLP(NET_REGISTRY[self.disc_net])
+            self.disc_logit = nn.Dense(
+                1,
+                kernel_init=_sym_uniform(1.0),
+                bias_init=nn.initializers.zeros,
+            )
 
     def actor(self, obs):
         return self.actor_mean(self.actor_trunk(obs))
@@ -94,4 +98,7 @@ class ADDNet(nn.Module):
 
     def __call__(self, obs, disc_obs):
         # used only for init: touch every submodule
-        return self.actor(obs), self.critic(obs), self.disc(disc_obs)
+        out = (self.actor(obs), self.critic(obs))
+        if self.enable_disc:
+            out = out + (self.disc(disc_obs),)
+        return out

@@ -40,8 +40,12 @@ def main():
     )
     obs = env.compute_obs(es)
 
-    # warmup / compile
+    # warmup / compile: two iterations — the first compiles for fresh inputs,
+    # the second compiles the steady-state signature (chained outputs carry
+    # different layouts/avals than freshly-initialized arrays)
     ts, es, obs, info = agent.train_iter(ts, es, obs, jax.random.PRNGKey(1))
+    jax.block_until_ready(info)
+    ts, es, obs, info = agent.train_iter(ts, es, obs, jax.random.PRNGKey(99))
     jax.block_until_ready(info)
 
     t0 = time.time()

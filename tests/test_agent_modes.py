@@ -1,0 +1,60 @@
+"""Agent modes: ADD (default), AMP, and plain PPO all train end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from add_gym_tpu.builder import build_agent, build_env
+from add_gym_tpu.utils.config import load_config
+
+
+def _small_cfg(agent_group):
+    cfg = load_config("train", overrides=[f"agent={agent_group}"])
+    cfg["engine"]["num_envs"] = 4
+    cfg["engine"]["fused"] = False  # fast compile on the 1-core CPU host
+    cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
+    cfg["agent"]["steps_per_iter"] = 4
+    cfg["agent"]["update_epochs"] = 1
+    cfg["agent"]["batch_size"] = 2
+    return cfg
+
+
+def _one_iter(cfg):
+    env = build_env(cfg)
+    agent = build_agent(cfg, env)
+    ts = agent.init_train_state()
+    es = env.init_state(4)
+    es = env.reset_where(jax.random.PRNGKey(0), es, jnp.ones(4, bool), ts.sampler)
+    obs = env.compute_obs(es)
+    ts, es, obs, info = agent.train_iter(ts, es, obs, jax.random.PRNGKey(1))
+    return agent, ts, {k: float(v) for k, v in jax.device_get(info).items()}
+
+
+def test_amp_mode_trains():
+    agent, ts, info = _one_iter(_small_cfg("amp_g1"))
+    assert np.isfinite(info["loss"])
+    assert "disc_loss" in info and np.isfinite(info["disc_loss"])
+    # amp uses a running mean/std normalizer on disc obs
+    from add_gym_tpu.learning.normalizer import NormState
+
+    assert isinstance(ts.disc_norm, NormState)
+    assert float(ts.disc_norm.count) > 0
+
+
+def test_ppo_mode_trains_without_disc():
+    agent, ts, info = _one_iter(_small_cfg("ppo_g1"))
+    assert np.isfinite(info["loss"])
+    assert "disc_loss" not in info
+    # no discriminator parameters at all
+    assert "disc_trunk" not in ts.params["params"]
+    # reward comes from the task term
+    assert info["task_reward_mean"] != 0.0
+
+
+def test_ppo_reward_is_task_reward():
+    cfg = _small_cfg("ppo_g1")
+    env = build_env(cfg)
+    agent = build_agent(cfg, env)
+    assert agent.cfg.disc_mode == "none"
+    assert agent.cfg.task_reward_weight == 1.0
