@@ -101,6 +101,20 @@ def build_env(cfg: Dict) -> ImitationEnv:
         sampler_num_segments=int(sampler_cfg.get("num_segments", 20)),
         sampler_temperature=sampler_cfg.get("temperature"),
     )
+    # physics backend selection: "auto" uses the Pallas megakernel on a
+    # single real TPU chip (fastest; GSPMD sharding of the opaque kernel is
+    # not wired yet) and the XLA fused path everywhere else
+    num_envs = int(engine_cfg.get("num_envs", 256))
+    pallas_cfg = engine_cfg.get("pallas", "auto")
+    if pallas_cfg == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+            and num_envs % 128 == 0
+        )
+    else:
+        use_pallas = bool(pallas_cfg)
+
     dr_cfg = engine_cfg.get("domain_rand", {}) or {}
     dr = DRConfig(
         enabled=bool(dr_cfg.get("enabled", False)),
@@ -111,6 +125,7 @@ def build_env(cfg: Dict) -> ImitationEnv:
     return ImitationEnv(
         model, motion, params, task,
         fused=bool(engine_cfg.get("fused", True)),
+        pallas=use_pallas,
         dr=dr,
     )
 

@@ -102,6 +102,7 @@ class ImitationEnv:
         engine_params: EngineParams,
         task: TaskConfig = TaskConfig(),
         fused: bool = True,
+        pallas: bool = False,
         dr: DRConfig = DRConfig(),
     ):
         self.model = model
@@ -110,11 +111,22 @@ class ImitationEnv:
         self.task = task
         self.dr = dr
         self.ctrl_dt = engine_params.ctrl_dt
-        # SoA fused physics step (physics/fused_step.py): identical math to
-        # engine.step, ~11x faster on TPU (env-minor layout avoids tile
-        # padding).  Parity pinned by tests/test_fused_step.py.
+        # Physics backends (same math, pinned by tests/test_fused_step.py and
+        # tests/test_pallas_step.py):
+        #   pallas — one Pallas megakernel per control step (fastest on TPU;
+        #            single-device only until the shard_map wrapper lands)
+        #   fused  — stacked env-minor XLA path (~15-26x over reference
+        #            layout; shards transparently under GSPMD)
+        #   neither — reference [N, ...] layout (engine.step)
         self.fused = fused
-        if fused:
+        self.pallas = pallas
+        if pallas:
+            from add_gym_tpu.physics.fused_step import FusedModelConstants
+            from add_gym_tpu.physics.pallas_step import pallas_step
+
+            self._fc = FusedModelConstants(model)
+            self._step_fn = lambda p, s, t: pallas_step(self._fc, p, s, t)
+        elif fused:
             from add_gym_tpu.physics.fused_step import (
                 FusedModelConstants, fused_step,
             )

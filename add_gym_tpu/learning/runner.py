@@ -146,6 +146,10 @@ class Trainer:
 
             if output_iter:
                 self.save()
+                self.logger.log_sampler_image(
+                    jax.device_get(self.ts.sampler.errors),
+                    int(jax.device_get(self.ts.sample_count)),
+                )
             self.iter += 1
         self.save()
 

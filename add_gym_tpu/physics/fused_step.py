@@ -25,7 +25,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-import add_gym_tpu.mathx.rotations as rot
 from add_gym_tpu.physics.engine import EngineParams, SimState, apply_pd_target
 from add_gym_tpu.physics.model import PhysicsModel
 
@@ -34,19 +33,35 @@ from add_gym_tpu.physics.model import PhysicsModel
 # [3, 3] / [3] and broadcast over the minor env axis.
 
 
+# NOTE on constants: every model constant enters the math as a *Python
+# float* (unrolled loops below), never as a jnp constant array.  This keeps
+# the whole core legal inside a Pallas kernel (Mosaic rejects captured array
+# constants) and lets XLA constant-fold aggressively.
+
+
 def m33_mul(A, B):
     """[3,3,N] @ [3,3,N] -> [3,3,N]."""
     return (A[:, :, None] * B[None, :, :]).sum(1)
 
 
 def m33_mul_c(A, C):
-    """[3,3,N] @ const [3,3] -> [3,3,N]."""
-    return (A[:, :, None] * jnp.asarray(C)[None, :, :, None]).sum(1)
+    """[3,3,N] @ const 3x3 (floats) -> [3,3,N]."""
+    C = np.asarray(C)
+    rows = [
+        [sum(A[i, k] * float(C[k, j]) for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+    return jnp.stack([jnp.stack(r) for r in rows])
 
 
 def c_mul_m33(C, B):
-    """const [3,3] @ [3,3,N] -> [3,3,N]."""
-    return (jnp.asarray(C)[:, :, None, None] * B[None, :, :]).sum(1)
+    """const 3x3 (floats) @ [3,3,N] -> [3,3,N]."""
+    C = np.asarray(C)
+    rows = [
+        [sum(float(C[i, k]) * B[k, j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+    return jnp.stack([jnp.stack(r) for r in rows])
 
 
 def m33_vec(A, v):
@@ -60,13 +75,19 @@ def m33_T_vec(A, v):
 
 
 def m33_vec_c(A, c):
-    """[3,3,N] @ const [3] -> [3,N]."""
-    return (A * jnp.asarray(c)[None, :, None]).sum(1)
+    """[3,3,N] @ const 3-vector (floats) -> [3,N]."""
+    c = np.asarray(c)
+    return jnp.stack(
+        [sum(A[i, k] * float(c[k]) for k in range(3)) for i in range(3)]
+    )
 
 
 def m33_T_vec_c(A, c):
-    """[3,3,N]^T @ const [3] -> [3,N]."""
-    return (A * jnp.asarray(c)[:, None, None]).sum(0)
+    """[3,3,N]^T @ const 3-vector (floats) -> [3,N]."""
+    c = np.asarray(c)
+    return jnp.stack(
+        [sum(A[k, i] * float(c[k]) for k in range(3)) for i in range(3)]
+    )
 
 
 def vcross(a, b):
@@ -81,12 +102,13 @@ def vcross(a, b):
 
 
 def c_cross_vec(c, b):
-    """const [3] x [3,N] -> [3,N]."""
+    """const 3-vector (floats) x [3,N] -> [3,N]."""
+    c0, c1, c2 = float(c[0]), float(c[1]), float(c[2])
     return jnp.stack(
         [
-            c[1] * b[2] - c[2] * b[1],
-            c[2] * b[0] - c[0] * b[2],
-            c[0] * b[1] - c[1] * b[0],
+            c1 * b[2] - c2 * b[1],
+            c2 * b[0] - c0 * b[2],
+            c0 * b[1] - c1 * b[0],
         ]
     )
 
@@ -207,24 +229,65 @@ class FusedModelConstants:
         )
 
 
-def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState, dt):
-    """One physics substep, stacked env-minor layout.
+def _quat_update_stacked(root_quat, new_ang, dt):
+    """q' = normalize(exp(dt * w) * q) in stacked [4,B]/[3,B] layout.
 
-    Returns (state, body_contact [N, nb]).
+    Same semantics as rot.exp_map_to_quat + quat_mul + quat_normalize
+    (mathx/rotations.py:145-207) without layout transposes.
+    """
+    ex, ey, ez = dt * new_ang[0], dt * new_ang[1], dt * new_ang[2]
+    angle = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+    inv = 1.0 / jnp.maximum(angle, 1e-8)
+    small = angle <= 1e-5
+    half = 0.5 * jnp.where(small, 0.0, angle)
+    s = jnp.sin(half) * inv
+    dw = jnp.cos(half)
+    dx = jnp.where(small, 0.0, ex * s)
+    dy = jnp.where(small, 0.0, ey * s)
+    dz = jnp.where(small, 0.0, ez * s)
+
+    w2, x2, y2, z2 = root_quat
+    w = dw * w2 - dx * x2 - dy * y2 - dz * z2
+    x = dw * x2 + dx * w2 + dy * z2 - dz * y2
+    y = dw * y2 - dx * z2 + dy * w2 + dz * x2
+    z = dw * z2 + dx * y2 - dy * x2 + dz * w2
+    # positive hemisphere + renormalize
+    sign = jnp.where(w < 0, -1.0, 1.0)
+    n = 1.0 / jnp.sqrt(jnp.maximum(w * w + x * x + y * y + z * z, 1e-12))
+    return jnp.stack([w * sign * n, x * sign * n, y * sign * n, z * sign * n])
+
+
+def _substep_core(
+    fc: FusedModelConstants,
+    params: EngineParams,
+    kp,          # [nd, 1] or [nd, B]
+    kv,          # [nd, 1] or [nd, B]
+    mu,          # scalar or [B]
+    dof_tables,  # (damping, friction, lo, hi), each [nd, 1] or [nd, B]
+    dt,
+    root_pos,    # [3, B]
+    root_quat,   # [4, B]
+    root_vel,    # [3, B]
+    root_ang,    # [3, B]
+    q,           # [nd, B]
+    qd,          # [nd, B]
+    tgt,         # [nd, B]
+    vectorized_contacts: bool = False,
+):
+    """One physics substep on stacked env-minor arrays.
+
+    Pure stacked math, kernel-safe (model constants enter as Python floats,
+    never as jnp constant arrays) — shared between the XLA path
+    (fused_substep) and the Pallas megakernel (physics/pallas_step.py).
+    ``vectorized_contacts`` selects the [P,3,N]-batched contact formulation
+    (faster under XLA, uses constant arrays so kernel-incompatible) over the
+    per-point float-constant loop (Pallas-safe).
+    Returns (root_pos, root_quat, root_vel, root_ang, q, qd, contact [nb, B]).
     """
     nb = fc.nb
     nd = fc.model.nd
-    N = state.root_pos.shape[0]
-    f32 = state.root_pos.dtype
-
-    # transpose state into env-minor layout
-    root_pos = state.root_pos.T            # [3, N]
-    root_quat = state.root_quat.T          # [4, N]
-    root_vel = state.root_vel.T            # [3, N]
-    root_ang = state.root_ang_vel.T        # [3, N]
-    q = state.dof_pos.T                    # [nd, N]
-    qd = state.dof_vel.T                   # [nd, N]
-    tgt = state.pd_target.T                # [nd, N]
+    N = root_pos.shape[-1]
+    f32 = root_pos.dtype
 
     cos = jnp.cos(q)                       # [nd, N]
     sin = jnp.sin(q)
@@ -245,10 +308,17 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
         p = int(fc.parent[i])
         di = i - 1
         c, s = cos[di], sin[di]
-        Mi = (
-            jnp.asarray(fc.C0[i], f32)[:, :, None]
-            + c[None, None, :] * jnp.asarray(fc.C1[i], f32)[:, :, None]
-            + s[None, None, :] * jnp.asarray(fc.C2[i], f32)[:, :, None]
+        C0, C1, C2 = fc.C0[i], fc.C1[i], fc.C2[i]
+        Mi = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        float(C0[a, b]) + c * float(C1[a, b]) + s * float(C2[a, b])
+                        for b in range(3)
+                    ]
+                )
+                for a in range(3)
+            ]
         )
         M[i] = Mi
         W[i] = m33_mul(W[p], Mi)
@@ -259,50 +329,113 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
         vel[i] = vel[p] + vcross(omega[p], r_w)
 
     # ---------------------------------------------------------- contacts
-    # vectorized over all P points at once: [P, ..., N]
-    Wst = jnp.stack(W)                      # [nb, 3, 3, N]
-    ost = jnp.stack(o)                      # [nb, 3, N]
-    omst = jnp.stack(omega)
-    vest = jnp.stack(vel)
+    # per-body point groups with constant point arrays: avoids gathers and
+    # scatters entirely (keeps the math Pallas/Mosaic-compatible and lets
+    # XLA fuse the contact chain into the FK chain)
+    k_all, b_all, stick_all = fc.contact_gains(params, float(dt))
+    zero3 = jnp.zeros((3, N), f32)
+    zero1 = jnp.zeros((N,), f32)
+    one = jnp.ones((N,), f32)
+    n_w: List = [zero3] * nb                 # world torque about origin
+    f_w: List = [zero3] * nb
+    contact_l: List = [zero1] * nb
 
     cpb = fc.cp_body
-    Wb = Wst[cpb]                           # [P, 3, 3, N]
-    rp = (Wb * jnp.asarray(fc.cp_pos, f32)[:, None, :, None]).sum(2)  # [P,3,N]
-    x_z = ost[cpb][:, 2] + rp[:, 2]         # [P, N]
-    v_pt = vest[cpb] + jnp.cross(omst[cpb], rp, axis=1)               # [P,3,N]
+    for b in range(nb):
+        pts = np.where(cpb == b)[0]
+        if pts.size == 0:
+            continue
+        if vectorized_contacts:
+            cp = jnp.asarray(fc.cp_pos[pts], f32)            # [P, 3] const
+            # rp[p, j, n] = sum_k W[b][j, k, n] * cp[p, k]
+            rp = (W[b][None] * cp[:, None, :, None]).sum(2)  # [P, 3, N]
+            x_z = o[b][2][None, :] + rp[:, 2]                # [P, N]
+            om = omega[b][None]                              # [1, 3, N]
+            v_pt = vel[b][None] + jnp.stack(
+                [
+                    om[:, 1] * rp[:, 2] - om[:, 2] * rp[:, 1],
+                    om[:, 2] * rp[:, 0] - om[:, 0] * rp[:, 2],
+                    om[:, 0] * rp[:, 1] - om[:, 1] * rp[:, 0],
+                ],
+                axis=1,
+            )                                                # [P, 3, N]
 
-    k_c, b_c, stick_m = fc.contact_gains(params, float(dt))
-    phi = x_z - jnp.asarray(fc.cp_radius, f32)[:, None]
-    pen = jnp.maximum(-phi, 0.0)
-    active = (phi < 0.0).astype(f32)
-    fn = jnp.maximum(
-        jnp.asarray(k_c)[:, None] * pen - jnp.asarray(b_c)[:, None] * v_pt[:, 2],
-        0.0,
-    ) * active                               # [P, N]
+            phi = x_z - jnp.asarray(fc.cp_radius[pts], f32)[:, None]
+            pen = jnp.maximum(-phi, 0.0)
+            active = (phi < 0.0).astype(f32)
+            fn = jnp.maximum(
+                jnp.asarray(k_all[pts])[:, None] * pen
+                - jnp.asarray(b_all[pts])[:, None] * v_pt[:, 2],
+                0.0,
+            ) * active                                       # [P, N]
 
-    speed = jnp.sqrt(v_pt[:, 0] ** 2 + v_pt[:, 1] ** 2 + 1e-10)
-    f_t_mag = jnp.minimum(
-        params.friction_mu * fn, jnp.asarray(stick_m)[:, None] * speed / dt
-    )
-    scale = -f_t_mag / speed
-    f_pt = jnp.stack([scale * v_pt[:, 0], scale * v_pt[:, 1], fn], axis=1)  # [P,3,N]
-    n_pt = jnp.cross(rp, f_pt, axis=1)       # [P, 3, N]
+            speed = jnp.sqrt(v_pt[:, 0] ** 2 + v_pt[:, 1] ** 2 + 1e-10)
+            f_t_mag = jnp.minimum(
+                mu * fn, jnp.asarray(stick_all[pts])[:, None] * speed / dt
+            )
+            scale = -f_t_mag / speed
+            f_pt = jnp.stack(
+                [scale * v_pt[:, 0], scale * v_pt[:, 1], fn], axis=1
+            )                                                # [P, 3, N]
+            n_pt = jnp.stack(
+                [
+                    rp[:, 1] * f_pt[:, 2] - rp[:, 2] * f_pt[:, 1],
+                    rp[:, 2] * f_pt[:, 0] - rp[:, 0] * f_pt[:, 2],
+                    rp[:, 0] * f_pt[:, 1] - rp[:, 1] * f_pt[:, 0],
+                ],
+                axis=1,
+            )
+            f_w[b] = f_pt.sum(0)                             # [3, N]
+            n_w[b] = n_pt.sum(0)
+            contact_l[b] = fn.sum(0)                         # [N]
+            continue
+        Wb = W[b]
+        oz = o[b][2]
+        omx, omy, omz = omega[b][0], omega[b][1], omega[b][2]
+        vx, vy, vz = vel[b][0], vel[b][1], vel[b][2]
 
-    f_w = jax.ops.segment_sum(f_pt, cpb, nb)     # [nb, 3, N]
-    n_w = jax.ops.segment_sum(n_pt, cpb, nb)
-    contact = jax.ops.segment_sum(fn, cpb, nb)   # [nb, N]
+        fx_acc = fy_acc = fz_acc = None
+        nx_acc = ny_acc = nz_acc = None
+        for pi in pts:
+            cx, cy, cz = (float(v) for v in fc.cp_pos[pi])
+            rx = Wb[0, 0] * cx + Wb[0, 1] * cy + Wb[0, 2] * cz
+            ry = Wb[1, 0] * cx + Wb[1, 1] * cy + Wb[1, 2] * cz
+            rz = Wb[2, 0] * cx + Wb[2, 1] * cy + Wb[2, 2] * cz
+            x_z = oz + rz
+            vpx = vx + omy * rz - omz * ry
+            vpy = vy + omz * rx - omx * rz
+            vpz = vz + omx * ry - omy * rx
+
+            phi = x_z - float(fc.cp_radius[pi])
+            pen = jnp.maximum(-phi, 0.0)
+            active = (phi < 0.0).astype(f32)
+            fn = jnp.maximum(
+                float(k_all[pi]) * pen - float(b_all[pi]) * vpz, 0.0
+            ) * active
+
+            speed = jnp.sqrt(vpx * vpx + vpy * vpy + 1e-10)
+            f_t_mag = jnp.minimum(
+                mu * fn, (float(stick_all[pi]) / dt) * speed
+            )
+            scale = -f_t_mag / speed
+            fx, fy, fz = scale * vpx, scale * vpy, fn
+            nx = ry * fz - rz * fy
+            ny = rz * fx - rx * fz
+            nz = rx * fy - ry * fx
+            if fx_acc is None:
+                fx_acc, fy_acc, fz_acc = fx, fy, fz
+                nx_acc, ny_acc, nz_acc = nx, ny, nz
+            else:
+                fx_acc, fy_acc, fz_acc = fx_acc + fx, fy_acc + fy, fz_acc + fz
+                nx_acc, ny_acc, nz_acc = nx_acc + nx, ny_acc + ny, nz_acc + nz
+            contact_l[b] = contact_l[b] + fn
+        f_w[b] = jnp.stack([fx_acc, fy_acc, fz_acc])     # [3, N]
+        n_w[b] = jnp.stack([nx_acc, ny_acc, nz_acc])
+    contact = jnp.stack(contact_l)                       # [nb, N]
 
     # ------------------------------------------------------- joint torques
-    # kp/kv are [nd] (shared) or [N, nd] (per-env domain randomization)
-    kp = jnp.asarray(params.kp, f32)
-    kp = kp.T if kp.ndim == 2 else kp[:, None]
-    kv = jnp.asarray(params.kv, f32)
-    kv = kv.T if kv.ndim == 2 else kv[:, None]
     t_pd = jnp.clip(kp * (tgt - q) - kv * qd, -params.max_torque, params.max_torque)
-    damping_c = jnp.asarray(fc.damping, f32)[:, None]
-    friction_c = jnp.asarray(fc.friction, f32)[:, None]
-    lo_c = jnp.asarray(fc.lo, f32)[:, None]
-    hi_c = jnp.asarray(fc.hi, f32)[:, None]
+    damping_c, friction_c, lo_c, hi_c = dof_tables
     k_lim = 400.0
     tau = (
         t_pd
@@ -324,7 +457,6 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
     pA_n: List = [None] * nb                 # bias force (angular) [3,N]
     pA_f: List = [None] * nb
 
-    zero3 = jnp.zeros((3, N), f32)
     for i in range(nb):
         w_b[i] = m33_T_vec(W[i], omega[i])
         v_b[i] = m33_T_vec(W[i], vel[i])
@@ -333,19 +465,20 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
             c_f[i] = zero3
         else:
             di = i - 1
-            wJ = jnp.asarray(fc.axis[i], f32)[:, None] * qd[di][None, :]
+            ax = fc.axis[i]
+            wJ = jnp.stack([float(ax[k]) * qd[di] for k in range(3)])
             c_n[i] = vcross(w_b[i], wJ)
             c_f[i] = vcross(v_b[i], wJ)
 
-        A[i] = jnp.broadcast_to(jnp.asarray(fc.IA_A[i], f32)[:, :, None], (3, 3, N))
-        B[i] = jnp.broadcast_to(jnp.asarray(fc.IA_B[i], f32)[:, :, None], (3, 3, N))
-        D[i] = jnp.broadcast_to(jnp.asarray(fc.IA_D[i], f32)[:, :, None], (3, 3, N))
+        A[i] = _lift_const_mat(fc.IA_A[i], one)
+        B[i] = _lift_const_mat(fc.IA_B[i], one)
+        D[i] = _lift_const_mat(fc.IA_D[i], one)
 
         # I v with constant blocks
-        Iv_n = c_mul_m33_vec(fc.IA_A[i], w_b[i], f32) + c_mul_m33_vec(
-            fc.IA_B[i], v_b[i], f32
+        Iv_n = c_mul_m33_vec(fc.IA_A[i], w_b[i]) + c_mul_m33_vec(
+            fc.IA_B[i], v_b[i]
         )
-        Iv_f = cT_mul_m33_vec(fc.IA_B[i], w_b[i], f32) + float(fc.mass[i]) * v_b[i]
+        Iv_f = cT_mul_m33_vec(fc.IA_B[i], w_b[i]) + float(fc.mass[i]) * v_b[i]
         bias_n = vcross(w_b[i], Iv_n) + vcross(v_b[i], Iv_f)
         bias_f = vcross(w_b[i], Iv_f)
         ext_n = m33_T_vec(W[i], n_w[i])
@@ -359,7 +492,6 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
     d_inv: List = [None] * nb
     u_: List = [None] * nb
 
-    kv_arr = kv  # [nd, 1] or [nd, N]; rows broadcast against [N] quantities
     for i in range(nb - 1, 0, -1):
         p = int(fc.parent[i])
         di = i - 1
@@ -368,12 +500,12 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
         Ut = m33_vec_c(A[i], ax)             # [3, N]
         Ub = m33_T_vec_c(B[i], ax)
         d = (
-            (Ut * jnp.asarray(ax, f32)[:, None]).sum(0)
+            sum(Ut[k] * float(ax[k]) for k in range(3))
             + float(fc.armature[di])
-            + dt * (float(fc.damping[di]) + kv_arr[di])
+            + dt * (float(fc.damping[di]) + kv[di])
         )
         dinv = 1.0 / d
-        u = tau[di] - (jnp.asarray(ax, f32)[:, None] * pA_n[i]).sum(0)
+        u = tau[di] - sum(float(ax[k]) * pA_n[i][k] for k in range(3))
         U_t[i], U_b[i], d_inv[i], u_[i] = Ut, Ub, dinv, u
 
         # Ia = IA - U U^T / d (blocks)
@@ -433,23 +565,22 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
         v_l = m33_T_vec(Mi, a_f[p] - c_cross_vec(fc.r[i], a_n[p])) + c_f[i]
         qdd_i = (u_[i] - (vdot(U_t[i], w_l) + vdot(U_b[i], v_l))) * d_inv[i]
         qdd_rows[di] = qdd_i
-        a_n[i] = w_l + jnp.asarray(fc.axis[i], f32)[:, None] * qdd_i[None]
+        ax3 = fc.axis[i]
+        a_n[i] = w_l + jnp.stack([float(ax3[k]) * qdd_i for k in range(3)])
         a_f[i] = v_l
     qdd = jnp.stack(qdd_rows)                # [nd, N]
 
     # ------------------------------------------------------- integration
     W0 = W[0]
     wdot_w = m33_vec(W0, a_n[0])
-    grav = jnp.asarray([0.0, 0.0, -params.gravity], f32)[:, None]
-    a_lin_w = m33_vec(W0, a_f[0]) + grav + vcross(root_ang, root_vel)
+    a_lin = m33_vec(W0, a_f[0]) + vcross(root_ang, root_vel)
+    a_lin_w = jnp.stack([a_lin[0], a_lin[1], a_lin[2] - params.gravity])
 
     vmax = 100.0
     new_ang = jnp.clip(root_ang + dt * wdot_w, -vmax, vmax)
     new_vel = jnp.clip(root_vel + dt * a_lin_w, -vmax, vmax)
     new_pos = root_pos + dt * new_vel
-
-    dq = rot.exp_map_to_quat((dt * new_ang).T)
-    new_quat = rot.quat_normalize(rot.quat_mul(dq, root_quat.T))
+    new_quat = _quat_update_stacked(root_quat, new_ang, dt)
 
     new_qd = jnp.clip(qd + dt * qdd, -vmax, vmax)
     new_q = q + dt * new_qd
@@ -457,26 +588,78 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
     new_qd = jnp.where((new_q < lo_c) & (new_qd < 0), 0.0, new_qd)
     new_q = jnp.clip(new_q, lo_c, hi_c)
 
+    return new_pos, new_quat, new_vel, new_ang, new_q, new_qd, contact
+
+
+def _prep_params(fc: FusedModelConstants, params: EngineParams, dtype=jnp.float32):
+    """Transpose per-env (DR) or shared gains into stacked layout."""
+    kp = jnp.asarray(params.kp, dtype)
+    kp = kp.T if kp.ndim == 2 else kp[:, None]
+    kv = jnp.asarray(params.kv, dtype)
+    kv = kv.T if kv.ndim == 2 else kv[:, None]
+    mu = jnp.asarray(params.friction_mu, dtype)
+    return kp, kv, mu
+
+
+def _dof_tables(fc: FusedModelConstants, dtype=jnp.float32):
+    """Per-dof model tables in stacked layout [nd, 1]."""
+    return (
+        jnp.asarray(fc.damping, dtype)[:, None],
+        jnp.asarray(fc.friction, dtype)[:, None],
+        jnp.asarray(fc.lo, dtype)[:, None],
+        jnp.asarray(fc.hi, dtype)[:, None],
+    )
+
+
+def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState, dt):
+    """One physics substep, stacked env-minor layout.
+
+    Returns (state, body_contact [N, nb]).
+    """
+    kp, kv, mu = _prep_params(fc, params, state.root_pos.dtype)
+    tables = _dof_tables(fc, state.root_pos.dtype)
+    rp, rq, rv, ra, q, qd, contact = _substep_core(
+        fc, params, kp, kv, mu, tables, dt,
+        state.root_pos.T, state.root_quat.T, state.root_vel.T,
+        state.root_ang_vel.T, state.dof_pos.T, state.dof_vel.T,
+        state.pd_target.T,
+        vectorized_contacts=True,
+    )
     new_state = SimState(
-        root_pos=new_pos.T,
-        root_quat=new_quat,
-        root_vel=new_vel.T,
-        root_ang_vel=new_ang.T,
-        dof_pos=new_q.T,
-        dof_vel=new_qd.T,
+        root_pos=rp.T,
+        root_quat=rq.T,
+        root_vel=rv.T,
+        root_ang_vel=ra.T,
+        dof_pos=q.T,
+        dof_vel=qd.T,
         pd_target=state.pd_target,
     )
     return new_state, contact.T              # [N, nb]
 
 
-def c_mul_m33_vec(C, v, dtype):
-    """const [3,3] @ [3,N] -> [3,N]."""
-    return (jnp.asarray(C, dtype)[:, :, None] * v[None]).sum(1)
+def c_mul_m33_vec(C, v):
+    """const 3x3 (floats) @ [3,N] -> [3,N]."""
+    C = np.asarray(C)
+    return jnp.stack(
+        [sum(float(C[i, k]) * v[k] for k in range(3)) for i in range(3)]
+    )
 
 
-def cT_mul_m33_vec(C, v, dtype):
-    """const [3,3]^T @ [3,N] -> [3,N]."""
-    return (jnp.asarray(C, dtype)[:, :, None] * v[:, None]).sum(0)
+def cT_mul_m33_vec(C, v):
+    """const 3x3^T (floats) @ [3,N] -> [3,N]."""
+    C = np.asarray(C)
+    return jnp.stack(
+        [sum(float(C[k, i]) * v[k] for k in range(3)) for i in range(3)]
+    )
+
+
+def _lift_const_mat(C, one):
+    """const 3x3 (floats) -> [3,3,N] via scaling the ones row (kernel-safe:
+    no captured constant arrays)."""
+    C = np.asarray(C)
+    return jnp.stack(
+        [jnp.stack([float(C[a, b]) * one for b in range(3)]) for a in range(3)]
+    )
 
 
 def _solve6(A, B, D, rhs):

@@ -1,0 +1,163 @@
+"""Pallas megakernel: one TPU kernel per physics control step.
+
+The XLA fused path (physics/fused_step.py) is memory-traffic bound: XLA
+materializes inter-fusion intermediates to HBM (~1.1 GB per control step at
+4096 envs, ~69 fusions).  This kernel runs the PD slew-limit plus all
+``substeps`` substeps of the control step inside a single Pallas program:
+every intermediate (body rotations, articulated inertia blocks, bias
+forces) lives in VMEM/vector registers, so HBM traffic collapses to the
+state in/out (~2 MB).
+
+The substep math is shared 1:1 with the XLA path
+(fused_step._substep_core, kernel-safe: constants enter as Python floats),
+so parity with physics/engine.py transfers; pinned end-to-end by
+tests/test_pallas_step.py.
+
+Grid: 1-D over env blocks (lane dim).  All arrays enter transposed
+(env-minor): vectors [3, N], quats [4, N], dof quantities [nd, N].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from add_gym_tpu.physics.engine import EngineParams, SimState
+from add_gym_tpu.physics.fused_step import (
+    FusedModelConstants,
+    _dof_tables,
+    _prep_params,
+    _substep_core,
+)
+
+DEFAULT_BLOCK = 512  # lanes per program (multiple of 128)
+
+
+def _control_step_kernel(
+    fc: FusedModelConstants,
+    params: EngineParams,
+    # refs:
+    rp_ref, rq_ref, rv_ref, ra_ref, q_ref, qd_ref, prev_tgt_ref, cmd_ref,
+    kp_ref, kv_ref, mu_ref, damp_ref, fric_ref, lo_ref, hi_ref,
+    rp_o, rq_o, rv_o, ra_o, q_o, qd_o, tgt_o, contact_o,
+):
+    dt = params.ctrl_dt / params.substeps
+
+    rp = rp_ref[:]
+    rq = rq_ref[:]
+    rv = rv_ref[:]
+    ra = ra_ref[:]
+    q = q_ref[:]
+    qd = qd_ref[:]
+    prev_tgt = prev_tgt_ref[:]
+    cmd = cmd_ref[:]
+    kp = kp_ref[:]
+    kv = kv_ref[:]
+    mu = mu_ref[:][0]                              # [B]
+    tables = (damp_ref[:], fric_ref[:], lo_ref[:], hi_ref[:])
+
+    # PD target clamp + slew limit (engine.apply_pd_target semantics)
+    lo = tables[2] + params.position_limit_margin
+    hi = tables[3] - params.position_limit_margin
+    tgt = jnp.clip(cmd, lo, hi)
+    delta = jnp.clip(
+        tgt - prev_tgt, -params.max_target_delta, params.max_target_delta
+    )
+    tgt = prev_tgt + delta
+
+    contact = None
+    for _ in range(params.substeps):
+        rp, rq, rv, ra, q, qd, contact = _substep_core(
+            fc, params, kp, kv, mu, tables, dt, rp, rq, rv, ra, q, qd, tgt
+        )
+
+    rp_o[:] = rp
+    rq_o[:] = rq
+    rv_o[:] = rv
+    ra_o[:] = ra
+    q_o[:] = q
+    qd_o[:] = qd
+    tgt_o[:] = tgt
+    contact_o[:] = contact
+
+
+def _build_call(fc: FusedModelConstants, params: EngineParams, N: int, block: int,
+                interpret: bool = False):
+    nd = fc.model.nd
+    nb = fc.nb
+    assert N % block == 0, f"num_envs {N} must be a multiple of block {block}"
+    grid = (N // block,)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (rows, block), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        spec(3), spec(4), spec(3), spec(3), spec(nd), spec(nd), spec(nd),
+        spec(nd), spec(nd), spec(nd), spec(1), spec(nd), spec(nd), spec(nd),
+        spec(nd),
+    ]
+    out_specs = (
+        spec(3), spec(4), spec(3), spec(3), spec(nd), spec(nd), spec(nd),
+        spec(nb),
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((r, N), jnp.float32)
+        for r in (3, 4, 3, 3, nd, nd, nd, nb)
+    )
+    return pl.pallas_call(
+        partial(_control_step_kernel, fc, params),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+
+def pallas_step(
+    fc: FusedModelConstants,
+    params: EngineParams,
+    state: SimState,
+    pd_target,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Control step with the same contract as engine.step / fused_step.
+
+    ``interpret=True`` runs the kernel as plain JAX (for CPU tests).
+    """
+    N = state.root_pos.shape[0]
+    block = min(block, N)
+    nd = fc.model.nd
+    kp, kv, mu = _prep_params(fc, params)
+    tables = _dof_tables(fc)
+    # uniform [nd, N]/[1, N] blocks (broadcast host-side; tiny arrays)
+    kp = jnp.broadcast_to(kp, (nd, N))
+    kv = jnp.broadcast_to(kv, (nd, N))
+    mu = jnp.asarray(mu, jnp.float32)
+    mu = jnp.full((1, N), mu) if mu.ndim == 0 else mu.reshape(1, N)
+    tables = tuple(jnp.broadcast_to(t, (nd, N)) for t in tables)
+
+    call = _build_call(fc, params, N, block, interpret=interpret)
+    rp, rq, rv, ra, q, qd, tgt, contact = call(
+        state.root_pos.T, state.root_quat.T, state.root_vel.T,
+        state.root_ang_vel.T, state.dof_pos.T, state.dof_vel.T,
+        state.pd_target.T, pd_target.T, kp, kv, mu, *tables,
+    )
+    new_state = SimState(
+        root_pos=rp.T,
+        root_quat=rq.T,
+        root_vel=rv.T,
+        root_ang_vel=ra.T,
+        dof_pos=q.T,
+        dof_vel=qd.T,
+        pd_target=tgt.T,
+    )
+    return new_state, contact.T

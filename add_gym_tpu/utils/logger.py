@@ -55,6 +55,44 @@ class TrainLogger:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)
 
+    def log_sampler_image(self, errors, step: int):
+        """Render the adaptive-sampler error/probability tables to TB.
+
+        Ref: add_agent.py:240-265 (matplotlib histogram images per output
+        iteration).  ``errors`` is the [num_clips, num_segments] EMA table.
+        """
+        if not self.is_main or self._tb is None:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import numpy as np
+
+            errors = np.asarray(errors)
+            t = errors.max() + 1e-6
+            e = np.exp(errors / t - (errors / t).max(axis=-1, keepdims=True))
+            probs = e / e.sum(axis=-1, keepdims=True)
+
+            fig, axes = plt.subplots(2, 1, figsize=(8, 5), sharex=True)
+            for ax, table, title in (
+                (axes[0], errors, "segment error (EMA)"),
+                (axes[1], probs, "sampling probability"),
+            ):
+                im = ax.imshow(table, aspect="auto", cmap="viridis")
+                ax.set_title(title)
+                ax.set_ylabel("clip")
+                fig.colorbar(im, ax=ax)
+            axes[1].set_xlabel("segment")
+            fig.tight_layout()
+            fig.canvas.draw()
+            img = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+            self._tb.add_image("sampler", img, step, dataformats="HWC")
+            plt.close(fig)
+        except Exception:
+            pass  # diagnostics must never kill training
+
     def close(self):
         if self._file:
             self._file.close()
