@@ -40,7 +40,20 @@ MOTION_JOINT_ORDER = [
 ]
 
 
-def build_env(cfg: Dict) -> ImitationEnv:
+def _resolve_motion_file(path: str) -> str:
+    """Resolve a motion file or manifest: as-given, package-relative
+    (configs/...), or under the asset root."""
+    import os
+
+    if os.path.exists(path):
+        return path
+    pkg_rel = os.path.join(os.path.dirname(os.path.abspath(__file__)), path)
+    if os.path.exists(pkg_rel):
+        return pkg_rel
+    return asset_path(path)
+
+
+def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
     robot_cfg = cfg.get("robot", {})
     engine_cfg = cfg.get("engine", {})
     task_cfg = cfg.get("task", {})
@@ -68,7 +81,9 @@ def build_env(cfg: Dict) -> ImitationEnv:
     )
 
     motion = load_motion_lib(
-        asset_path(task_cfg.get("motion_file", "motions/dance1_subject3.motion")),
+        _resolve_motion_file(
+            task_cfg.get("motion_file", "motions/dance1_subject3.motion")
+        ),
         task_cfg.get("motion_joint_order", MOTION_JOINT_ORDER),
         char,
         dt=params.ctrl_dt,
@@ -106,11 +121,13 @@ def build_env(cfg: Dict) -> ImitationEnv:
     # not wired yet) and the XLA fused path everywhere else
     num_envs = int(engine_cfg.get("num_envs", 256))
     pallas_cfg = engine_cfg.get("pallas", "auto")
+    dr_enabled = bool((engine_cfg.get("domain_rand") or {}).get("enabled", False))
     if pallas_cfg == "auto":
+        ndev = jax.device_count()
         use_pallas = (
             jax.default_backend() == "tpu"
-            and jax.device_count() == 1
-            and num_envs % 128 == 0
+            and (num_envs // ndev) % 128 == 0
+            and (ndev == 1 or (mesh is not None and not dr_enabled))
         )
     else:
         use_pallas = bool(pallas_cfg)
@@ -121,12 +138,16 @@ def build_env(cfg: Dict) -> ImitationEnv:
         kp_scale_range=tuple(dr_cfg.get("kp_scale_range", (0.8, 1.2))),
         kv_scale_range=tuple(dr_cfg.get("kv_scale_range", (0.8, 1.2))),
         friction_range=tuple(dr_cfg.get("friction_range", (0.6, 1.4))),
+        action_latency_range=tuple(
+            dr_cfg.get("action_latency_range", (0.0, 0.0))
+        ),
     )
     return ImitationEnv(
         model, motion, params, task,
         fused=bool(engine_cfg.get("fused", True)),
         pallas=use_pallas,
         dr=dr,
+        mesh=mesh if jax.device_count() > 1 else None,
     )
 
 

@@ -7,6 +7,7 @@ auto-resumes from the experiment checkpoint for spot restarts.
 Usage:
     python -m add_gym_tpu.cli.train engine.num_envs=4096 experiment_name=run1
     python -m add_gym_tpu.cli.train mode=test checkpoint=logs/run1/checkpoint
+    python -m add_gym_tpu.cli.train add4096 engine.num_envs=8192   # named config
 """
 
 from __future__ import annotations
@@ -19,6 +20,9 @@ import sys
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     overrides = [a for a in argv if "=" in a]
+    # a bare argument names the top-level config (configs/<name>.yaml)
+    names = [a for a in argv if "=" not in a]
+    config_name = names[0] if names else "train"
 
     from add_gym_tpu.parallel.mesh import initialize_distributed
 
@@ -27,7 +31,7 @@ def main(argv=None):
     from add_gym_tpu.utils.config import load_config
     from add_gym_tpu.learning.runner import Trainer
 
-    cfg = load_config("train", overrides)
+    cfg = load_config(config_name, overrides)
     mode = cfg.get("mode", "train")
 
     trainer = Trainer(cfg)

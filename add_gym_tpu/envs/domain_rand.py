@@ -7,9 +7,13 @@ gains and ground friction become per-env *data* (EngineParams leaves), so
 randomization is a masked resample inside the jitted reset — no recompiles,
 no host round-trips.
 
-Randomized quantities (log-uniform scales around 1):
-- ``kp_scale`` / ``kv_scale`` — PD gain multipliers (actuator strength)
-- ``friction`` — ground Coulomb friction coefficient (absolute value)
+Randomized quantities:
+- ``kp_scale`` / ``kv_scale`` — PD gain multipliers, log-uniform around 1
+  (actuator strength)
+- ``friction`` — ground Coulomb friction coefficient, log-uniform
+- ``latency`` — first-order actuation delay: the applied PD target is
+  ``(1-a)*cmd + a*prev`` with per-env smoothing factor a (uniform in range;
+  0 = no delay)
 """
 
 from __future__ import annotations
@@ -26,17 +30,21 @@ class DRConfig:
     kp_scale_range: tuple = (0.8, 1.2)
     kv_scale_range: tuple = (0.8, 1.2)
     friction_range: tuple = (0.6, 1.4)
+    action_latency_range: tuple = (0.0, 0.0)
 
 
 def init_dr_state(num_envs: int):
-    """Identity perturbations: {kp_scale, kv_scale, friction_mu} each [N]."""
+    """Identity perturbations."""
     ones = jnp.ones(num_envs)
-    return dict(kp_scale=ones, kv_scale=ones, friction_mu=ones)
+    return dict(
+        kp_scale=ones, kv_scale=ones, friction_mu=ones,
+        latency=jnp.zeros(num_envs),
+    )
 
 
 def sample_dr(key, cfg: DRConfig, num_envs: int):
-    """Fresh per-env perturbations (log-uniform within the config ranges)."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    """Fresh per-env perturbations within the config ranges."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
 
     def logu(k, lo, hi):
         return jnp.exp(
@@ -49,4 +57,9 @@ def sample_dr(key, cfg: DRConfig, num_envs: int):
         kp_scale=logu(k1, *cfg.kp_scale_range),
         kv_scale=logu(k2, *cfg.kv_scale_range),
         friction_mu=logu(k3, *cfg.friction_range),
+        latency=jax.random.uniform(
+            k4, (num_envs,),
+            minval=cfg.action_latency_range[0],
+            maxval=cfg.action_latency_range[1],
+        ),
     )

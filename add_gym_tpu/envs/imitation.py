@@ -104,6 +104,7 @@ class ImitationEnv:
         fused: bool = True,
         pallas: bool = False,
         dr: DRConfig = DRConfig(),
+        mesh=None,
     ):
         self.model = model
         self.motion = motion
@@ -122,10 +123,21 @@ class ImitationEnv:
         self.pallas = pallas
         if pallas:
             from add_gym_tpu.physics.fused_step import FusedModelConstants
-            from add_gym_tpu.physics.pallas_step import pallas_step
+            from add_gym_tpu.physics.pallas_step import (
+                pallas_step, sharded_pallas_step,
+            )
 
             self._fc = FusedModelConstants(model)
-            self._step_fn = lambda p, s, t: pallas_step(self._fc, p, s, t)
+            if mesh is not None:
+                assert not dr.enabled, (
+                    "pallas + mesh + domain randomization unsupported; "
+                    "use the fused XLA path (engine.pallas=false)"
+                )
+                self._step_fn = lambda p, s, t: sharded_pallas_step(
+                    self._fc, mesh, p, s, t
+                )
+            else:
+                self._step_fn = lambda p, s, t: pallas_step(self._fc, p, s, t)
         elif fused:
             from add_gym_tpu.physics.fused_step import (
                 FusedModelConstants, fused_step,
@@ -221,6 +233,11 @@ class ImitationEnv:
 
         Returns (state, obs, disc_obs, disc_obs_demo, reward, done).
         """
+        if self.dr.enabled and self.dr.action_latency_range[1] > 0:
+            # first-order actuation delay (domain_rand.py): blend the fresh
+            # command with the previously applied target
+            a = state.dr["latency"][:, None]
+            pd_target = (1.0 - a) * pd_target + a * state.sim.pd_target
         sim, body_contact = self._step_fn(
             self._effective_params(state), state.sim, pd_target
         )

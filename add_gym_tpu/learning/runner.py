@@ -47,7 +47,10 @@ def episode_stats(rewards: np.ndarray, dones: np.ndarray):
 class Trainer:
     def __init__(self, cfg: Dict, use_mesh: bool = True):
         self.cfg = cfg
-        self.env = build_env(cfg)
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+        self.env = build_env(cfg, mesh=self.mesh)
         self.agent = build_agent(cfg, self.env)
         self.num_envs = int(cfg.get("engine", {}).get("num_envs", 256))
         self.iters_per_output = int(cfg.get("iters_per_output", 100))
@@ -71,9 +74,7 @@ class Trainer:
         )
         obs = self.env.compute_obs(es)
 
-        self.mesh = None
-        if use_mesh and len(jax.devices()) > 1:
-            self.mesh = make_mesh()
+        if self.mesh is not None:
             ts = replicate_tree(self.mesh, ts)
             es = shard_env_tree(self.mesh, es)
             obs = shard_env_tree(self.mesh, obs)

@@ -130,11 +130,17 @@ class MotionLib:
 
 
 def _fetch_motion_files(motion_file: str):
-    """Single file or YAML manifest of {file, weight}.  Ref: motion_lib.py:337-358."""
+    """Single file or YAML manifest of {file, weight}.  Ref: motion_lib.py:337-358.
+
+    Manifest entries resolve through the asset root (so manifests can live
+    in the repo while clips live with the assets).
+    """
     if motion_file.endswith(".yaml"):
+        from add_gym_tpu.utils.assets import asset_path
+
         with open(motion_file) as f:
             cfg = yaml.safe_load(f)
-        files = [m["file"] for m in cfg["motions"]]
+        files = [asset_path(m["file"]) for m in cfg["motions"]]
         weights = [float(m["weight"]) for m in cfg["motions"]]
         assert all(w >= 0 for w in weights)
         return files, weights

@@ -161,3 +161,44 @@ def pallas_step(
         pd_target=tgt.T,
     )
     return new_state, contact.T
+
+
+def sharded_pallas_step(
+    fc: FusedModelConstants,
+    mesh,
+    params: EngineParams,
+    state: SimState,
+    pd_target,
+    axis: str = "env",
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Pallas control step under an env-sharded mesh.
+
+    Pallas programs are opaque to GSPMD, so the kernel is wrapped in
+    shard_map over the ``env`` axis: each device runs the kernel on its
+    local env shard (physics is embarrassingly parallel across envs —
+    SURVEY.md §2.7).  EngineParams must be per-model ([nd] gains, scalar
+    friction); per-env DR params ride inside ``state`` normally but with
+    DR enabled use the XLA fused path instead.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    kp = jnp.asarray(params.kp)
+    assert kp.ndim == 1 and jnp.ndim(params.friction_mu) == 0, (
+        "sharded pallas path requires shared (non-per-env) engine params"
+    )
+
+    def local_step(state, pd_target):
+        return pallas_step(
+            fc, params, state, pd_target, block=block, interpret=interpret
+        )
+
+    state_spec = jax.tree_util.tree_map(lambda _: P(axis), state)
+    return shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(axis)),
+        out_specs=(state_spec, P(axis)),
+    )(state, pd_target)

@@ -69,3 +69,36 @@ def test_dr_step_runs_and_differs(env):
     dof = np.asarray(out.sim.dof_pos)
     # identical states + different gains -> different joint trajectories
     assert np.abs(dof - dof[0]).max() > 1e-4
+
+
+def test_parity_configs_compose():
+    """The five BASELINE.json parity configs load and build."""
+    for name in ("parity_cpu4", "ppo256", "add4096", "multihost", "dr_pod"):
+        cfg = load_config(name)
+        assert "agent" in cfg and "engine" in cfg and "task" in cfg, name
+
+
+def test_action_latency():
+    cfg = load_config("train")
+    cfg["engine"]["num_envs"] = 4
+    cfg["engine"]["fused"] = False
+    cfg["engine"]["domain_rand"] = {
+        "enabled": True, "action_latency_range": [0.5, 0.5],
+    }
+    cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
+    env = build_env(cfg)
+    sampler = init_sampler(env.motion.num_motions, env.task.sampler_num_segments)
+    es = env.init_state(4)
+    es = env.reset_where(jax.random.PRNGKey(0), es, jnp.ones(4, bool), sampler)
+    prev = es.sim.pd_target
+    cmd = prev + 1.0
+    es2, *_ = jax.jit(env.step)(es, cmd)
+    # applied target moved by (1-a)*delta = 0.5, then slew/limit clamps
+    expected = prev + 0.5
+    lim = jnp.asarray(env.model.dof_limit)
+    expected = jnp.clip(
+        expected, lim[:, 0] + 1e-4, lim[:, 1] - 1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(es2.sim.pd_target), np.asarray(expected), atol=1e-5
+    )
