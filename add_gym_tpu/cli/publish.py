@@ -69,6 +69,9 @@ def export(checkpoint: str, out_dir: str, config_path: str | None, name: str):
 
     from add_gym_tpu.builder import build_env, build_agent
 
+    # only the train-state *structure* matters for restore; a small env
+    # batch keeps this cheap (the motion set must match for sampler shapes)
+    cfg.setdefault("engine", {})["num_envs"] = 8
     env = build_env(cfg)
     agent = build_agent(cfg, env)
     ts = agent.init_train_state()
@@ -83,12 +86,21 @@ def export(checkpoint: str, out_dir: str, config_path: str | None, name: str):
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "model.msgpack"), "wb") as f:
         f.write(flax.serialization.to_bytes(jax.device_get(ts.params)))
+    import dataclasses
+
+    def as_plain(x):
+        # registered-dataclass pytrees (NormState/DiffNormState) -> dicts
+        d = dataclasses.asdict(jax.device_get(x))
+        return {k: v for k, v in d.items() if not isinstance(v, float)} | {
+            k: float(v) for k, v in d.items() if isinstance(v, float)
+        }
+
     with open(os.path.join(out_dir, "normalizers.msgpack"), "wb") as f:
         f.write(
             flax.serialization.to_bytes(
                 {
-                    "obs_norm": jax.device_get(ts.obs_norm),
-                    "disc_norm": jax.device_get(ts.disc_norm),
+                    "obs_norm": as_plain(ts.obs_norm),
+                    "disc_norm": as_plain(ts.disc_norm),
                 }
             )
         )

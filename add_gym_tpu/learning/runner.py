@@ -87,8 +87,12 @@ class Trainer:
     def _ckpt_dir(self):
         return os.path.abspath(os.path.join(self.exp_dir, "checkpoint"))
 
-    def save(self, path=None):
-        """Save {train_state, iter}.  Rank-0 only (base_agent.py:548-561)."""
+    def save(self, path=None, numbered: bool = False):
+        """Save {train_state, iter}.  Rank-0 only (base_agent.py:548-561).
+
+        ``numbered`` also writes an immutable snapshot under
+        ``intermediate_outputs/`` (reference: model_%010d.pt).
+        """
         if jax.process_index() != 0:
             return
         import orbax.checkpoint as ocp
@@ -100,6 +104,14 @@ class Trainer:
             "iter": self.iter,
         }
         ckpter.save(path, payload, force=True)
+        if numbered:
+            samples = int(payload["train_state"].sample_count)
+            snap = os.path.abspath(
+                os.path.join(
+                    self.exp_dir, "intermediate_outputs", f"model_{samples:012d}"
+                )
+            )
+            ckpter.save(snap, payload, force=True)
         ckpter.wait_until_finished()
 
     def load(self, path):
@@ -126,6 +138,13 @@ class Trainer:
     def train(self, max_iters: int | None = None):
         start = time.time()
         test_info = {}
+        samples_per_iter = self.agent.cfg.steps_per_iter * self.num_envs
+        # optional device profiling window (SURVEY.md §5.1: the reference has
+        # no tracing; here jax.profiler captures iters [start, start+count))
+        prof = self.cfg.get("profile", {}) or {}
+        prof_start = int(prof.get("start_iter", 10)) if prof else -1
+        prof_count = int(prof.get("num_iters", 3)) if prof else 0
+
         while int(jax.device_get(self.ts.sample_count)) < self.max_samples:
             if max_iters is not None and self.iter >= max_iters:
                 break
@@ -134,19 +153,41 @@ class Trainer:
             if output_iter and self.test_episodes > 0:
                 test_info = self.evaluate(self.test_episodes)
 
+            if prof_count and self.iter == prof_start:
+                jax.profiler.start_trace(
+                    prof.get("dir", os.path.join(self.exp_dir, "profile"))
+                )
+
+            t_iter = time.time()
             k, self._key = jax.random.split(self._key)
             self.ts, self.es, self.obs, info = self.agent.train_iter(
                 self.ts, self.es, self.obs, k
             )
 
             metrics = {k2: float(v) for k2, v in jax.device_get(info).items()}
+            iter_s = time.time() - t_iter
+
+            if prof_count and self.iter == prof_start + prof_count - 1:
+                jax.profiler.stop_trace()
+
+            # failure detection: a non-finite loss means the run is lost —
+            # save a post-mortem checkpoint and stop loudly rather than
+            # silently training on garbage
+            if not np.isfinite(metrics.get("loss", 0.0)):
+                self.save(os.path.abspath(os.path.join(self.exp_dir, "crash")))
+                raise FloatingPointError(
+                    f"non-finite loss at iter {self.iter}: {metrics}"
+                )
+
             metrics["wall_hours"] = (time.time() - start) / 3600.0
+            metrics["iter_seconds"] = iter_s
+            metrics["env_steps_per_s"] = samples_per_iter / max(iter_s, 1e-9)
             for k2, v in test_info.items():
                 metrics[f"test_{k2}"] = v
             self.logger.log(metrics, int(jax.device_get(self.ts.sample_count)))
 
             if output_iter:
-                self.save()
+                self.save(numbered=self.cfg.get("save_intermediate", False))
                 self.logger.log_sampler_image(
                     jax.device_get(self.ts.sampler.errors),
                     int(jax.device_get(self.ts.sample_count)),
