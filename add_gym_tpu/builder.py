@@ -148,6 +148,7 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
         pallas=use_pallas,
         dr=dr,
         mesh=mesh if jax.device_count() > 1 else None,
+        char=char,
     )
 
 
@@ -175,6 +176,7 @@ def build_agent(cfg: Dict, env: ImitationEnv, key=None) -> ADDAgent:
         task_reward_weight=float(a.get("task_reward_weight", 0.0)),
         disc_reward_weight=float(a.get("disc_reward_weight", 1.0)),
         action_std=float(a.get("action_std", 0.05)),
+        actor_std_type=a.get("actor_std_type", "fixed"),
         exp_prob=float(a.get("exp_prob", 1.0)),
         normalizer_samples=float(a.get("normalizer_samples", 1e8)),
         disc_mode=a.get("disc_mode", "add"),

@@ -105,8 +105,10 @@ class ImitationEnv:
         pallas: bool = False,
         dr: DRConfig = DRConfig(),
         mesh=None,
+        char=None,
     ):
         self.model = model
+        self._char = char  # kinematic CharModel (viewer / video rendering)
         self.motion = motion
         self.params = engine_params
         self.task = task

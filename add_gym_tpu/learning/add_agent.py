@@ -56,6 +56,8 @@ class AgentConfig:
     task_reward_weight: float = 0.0
     disc_reward_weight: float = 1.0
     action_std: float = 0.05
+    # StdType (distribution_gaussian_diag.py:6-9): fixed | constant | variable
+    actor_std_type: str = "fixed"
     exp_prob: float = 1.0
     normalizer_samples: float = 1e8
     # discriminator mode (reference agent hierarchy, SURVEY.md §2.4):
@@ -96,6 +98,8 @@ class ADDAgent:
             disc_net=cfg.disc_net,
             actor_init_output_scale=cfg.actor_init_output_scale,
             enable_disc=cfg.disc_mode != "none",
+            std_type=cfg.actor_std_type,
+            init_logstd=float(np.log(cfg.action_std)),
         )
         self.logstd = float(np.log(cfg.action_std))
 
@@ -144,8 +148,9 @@ class ADDAgent:
     def _decide_action(self, params, obs_norm, key, obs, train: bool):
         """Ref: ppo_agent.py:72-104 (rand-action-mask exploration)."""
         norm_obs = norm.normalize(obs_norm, obs)
-        mean = self.net.apply(params, norm_obs, method=ADDNet.actor)
-        logstd = jnp.full_like(mean, self.logstd)
+        mean, logstd = self.net.apply(params, norm_obs, method=ADDNet.actor)
+        if logstd is None:  # std_type == "fixed"
+            logstd = jnp.full_like(mean, self.logstd)
         if train:
             k1, k2 = jax.random.split(key)
             a_rand = dist.sample(k1, mean, logstd)
@@ -211,13 +216,22 @@ class ADDAgent:
         r = -jnp.log(jnp.maximum(1.0 - prob, 1e-4))
         return r * self.cfg.disc_reward_scale
 
-    def build_train_data(self, ts: TrainState, traj):
+    def build_train_data(self, ts: TrainState, traj, key=None):
         """Rewards, TD(λ) returns, normalized advantages, sampler update.
 
         Ref: add_agent.py:110-133 + ppo_agent.py:111-159 +
         base_agent.py:624-647.
         """
         cfg = self.cfg
+        if cfg.disc_mode == "amp" and key is not None:
+            # AMP fetches fresh demo windows each iteration rather than the
+            # time-aligned windows ADD uses (amp_agent.py:73-78)
+            T, N = traj["reward"].shape
+            demo = self.env.fetch_disc_obs_demo(key, T * N, ts.sampler)
+            traj = dict(traj)
+            traj["disc_obs_demo"] = demo.reshape(
+                (T, N) + demo.shape[1:]
+            )
         task_r = traj["reward"]
         if cfg.disc_mode == "none":
             disc_r = jnp.zeros_like(task_r)
@@ -282,8 +296,9 @@ class ADDAgent:
         critic_loss = jnp.mean(jnp.square(batch["tar_val"] - pred))
 
         # actor on rand-masked samples only (ppo_agent.py:221-275)
-        mean = self.net.apply(params, norm_obs, method=ADDNet.actor)
-        logstd = jnp.full_like(mean, self.logstd)
+        mean, logstd = self.net.apply(params, norm_obs, method=ADDNet.actor)
+        if logstd is None:  # std_type == "fixed"
+            logstd = jnp.full_like(mean, self.logstd)
         a_logp = dist.log_prob(mean, logstd, norm_a)
         mask = (batch["rand_mask"] == 1.0).astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(mask), 1.0)
@@ -431,11 +446,11 @@ class ADDAgent:
     def train_iter(self, ts: TrainState, env_state: EnvState, obs, key):
         """One full training iteration.  Ref: base_agent.py:353-374."""
         cfg = self.cfg
-        k_roll, k_upd = jax.random.split(key)
+        k_roll, k_data, k_upd = jax.random.split(key, 3)
         env_state, obs, traj = self.rollout(
             ts, env_state, obs, k_roll, cfg.steps_per_iter, train=True
         )
-        ts, data, data_info = self.build_train_data(ts, traj)
+        ts, data, data_info = self.build_train_data(ts, traj, k_data)
         ts, train_info = self.update_model(ts, data, k_upd)
 
         # normalizer updates after the model update (base_agent.py:362-366)
@@ -443,7 +458,7 @@ class ADDAgent:
         new_obs_norm = norm.update_normalizer(ts.obs_norm, traj["obs"])
         if cfg.disc_mode == "amp":
             # running stats over both agent and demo disc obs (amp_agent.py)
-            both = jnp.concatenate([traj["disc_obs"], traj["disc_obs_demo"]], axis=0)
+            both = jnp.concatenate([data["disc_obs"], data["disc_obs_demo"]], axis=0)
             new_disc_norm = norm.update_normalizer(ts.disc_norm, both)
         else:
             obs_diff = traj["disc_obs_demo"] - traj["disc_obs"]
@@ -488,6 +503,38 @@ class ADDAgent:
             ts, env_state, obs, key, num_steps, train=False
         )
         return env_state, obs, traj["reward"], traj["done"]
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def eval_rollout_states(self, ts: TrainState, env_state, obs, num_steps, key):
+        """Deterministic rollout capturing env 0's sim trajectory.
+
+        Used for periodic video recording (the reference's scene-camera
+        capture, envs/env.py:85-140 — here: state dump -> offline render).
+        Returns (env_state, obs, {root_pos, root_quat, dof_pos} [T, ...]).
+        """
+        env = self.env
+
+        def step_fn(carry, _):
+            env_state, obs, key = carry
+            key, k_act, k_reset = jax.random.split(key, 3)
+            action, _, _, _ = self._decide_action(
+                ts.params, ts.obs_norm, k_act, obs, False
+            )
+            env_state, _, _, _, _, done = env.step(env_state, action)
+            reset_mask = done != int(DoneFlags.NULL)
+            env_state = env.reset_where(k_reset, env_state, reset_mask, ts.sampler)
+            obs = env.compute_obs(env_state)
+            out = dict(
+                root_pos=env_state.sim.root_pos[0],
+                root_quat=env_state.sim.root_quat[0],
+                dof_pos=env_state.sim.dof_pos[0],
+            )
+            return (env_state, obs, key), out
+
+        (env_state, obs, _), states = jax.lax.scan(
+            step_fn, (env_state, obs, key), None, length=num_steps
+        )
+        return env_state, obs, states
 
 
 def td_lambda_return(r, next_vals, done, discount, td_lambda):

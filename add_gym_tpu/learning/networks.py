@@ -56,6 +56,32 @@ class MLP(nn.Module):
         return x
 
 
+class CNN3Conv1FC(nn.Module):
+    """Atari-style conv trunk (reference nets/cnn_3conv_1fc_0.py, unused by
+    the G1 task but part of the net registry).  Input [..., H, W, C]."""
+
+    fc_size: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        for feat, kern, stride in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+            x = nn.relu(
+                nn.Conv(feat, (kern, kern), strides=(stride, stride),
+                        padding="VALID")(x)
+            )
+        x = x.reshape(x.shape[: -3] + (-1,))
+        return nn.relu(nn.Dense(self.fc_size, kernel_init=_torch_linear_init)(x))
+
+
+def build_trunk(name: str) -> nn.Module:
+    """Net-registry factory (reference net_builder.py:5-11)."""
+    if name in NET_REGISTRY:
+        return MLP(NET_REGISTRY[name])
+    if name == "cnn_3conv_1fc_0":
+        return CNN3Conv1FC()
+    raise KeyError(f"unknown net: {name}")
+
+
 class ADDNet(nn.Module):
     """Actor + critic [+ discriminator], mirroring the reference model
     hierarchy (PPOModel -> ADDModel, ppo_model.py / add_model.py).  With
@@ -67,20 +93,37 @@ class ADDNet(nn.Module):
     disc_net: str = "fc_2layers_1024units"
     actor_init_output_scale: float = 0.01
     enable_disc: bool = True
+    # StdType (distribution_gaussian_diag.py:6-9): "fixed" (config default,
+    # logstd supplied by the agent), "constant" (learnable per-dim
+    # parameter), "variable" (net output head)
+    std_type: str = "fixed"
+    init_logstd: float = float(np.log(0.05))
 
     def setup(self):
-        self.actor_trunk = MLP(NET_REGISTRY[self.actor_net])
+        self.actor_trunk = build_trunk(self.actor_net)
         self.actor_mean = nn.Dense(
             self.action_dim,
             kernel_init=_sym_uniform(self.actor_init_output_scale),
             bias_init=nn.initializers.zeros,
         )
-        self.critic_trunk = MLP(NET_REGISTRY[self.critic_net])
+        if self.std_type == "constant":
+            self.actor_logstd = self.param(
+                "actor_logstd",
+                lambda key, shape: jnp.full(shape, self.init_logstd),
+                (self.action_dim,),
+            )
+        elif self.std_type == "variable":
+            self.actor_logstd_head = nn.Dense(
+                self.action_dim,
+                kernel_init=_sym_uniform(self.actor_init_output_scale),
+                bias_init=nn.initializers.constant(self.init_logstd),
+            )
+        self.critic_trunk = build_trunk(self.critic_net)
         self.critic_out = nn.Dense(
             1, kernel_init=_torch_linear_init, bias_init=nn.initializers.zeros
         )
         if self.enable_disc:
-            self.disc_trunk = MLP(NET_REGISTRY[self.disc_net])
+            self.disc_trunk = build_trunk(self.disc_net)
             self.disc_logit = nn.Dense(
                 1,
                 kernel_init=_sym_uniform(1.0),
@@ -88,7 +131,16 @@ class ADDNet(nn.Module):
             )
 
     def actor(self, obs):
-        return self.actor_mean(self.actor_trunk(obs))
+        """Returns (mean, logstd); logstd is None for std_type='fixed'."""
+        h = self.actor_trunk(obs)
+        mean = self.actor_mean(h)
+        if self.std_type == "constant":
+            logstd = jnp.broadcast_to(self.actor_logstd, mean.shape)
+        elif self.std_type == "variable":
+            logstd = self.actor_logstd_head(h)
+        else:
+            logstd = None
+        return mean, logstd
 
     def critic(self, obs):
         return self.critic_out(self.critic_trunk(obs))[..., 0]

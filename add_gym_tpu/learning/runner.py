@@ -192,8 +192,57 @@ class Trainer:
                     jax.device_get(self.ts.sampler.errors),
                     int(jax.device_get(self.ts.sample_count)),
                 )
+                vid_every = int(self.cfg.get("video_interval", 0) or 0)
+                if vid_every and (self.iter // self.iters_per_output) % vid_every == 0:
+                    if jax.process_index() == 0:
+                        self.record_video(
+                            os.path.join(self.exp_dir, f"rollout_{self.iter:07d}.gif")
+                        )
             self.iter += 1
         self.save()
+
+    # ----------------------------------------------------------------- video
+
+    def record_video(self, path: str, seconds: float = 4.0):
+        """Greedy rollout of env 0 -> stick-figure video + pose npz.
+
+        The reference records MP4s from a scene camera during training
+        (envs/env.py:85-140); on TPU we dump sim states and render offline
+        with the viewer machinery (cli/view.py).
+        """
+        from add_gym_tpu.cli.view import render_video
+        from add_gym_tpu.kinematics.char_model import load_char_model
+
+        steps = int(seconds / self.env.ctrl_dt)
+        k, self._key = jax.random.split(self._key)
+        self.es, self.obs, states = self.agent.eval_rollout_states(
+            self.ts, self.es, self.obs, steps, k
+        )
+        states = jax.device_get(states)
+        char = getattr(self.env, "_char", None)
+        if char is None:
+            from add_gym_tpu.utils.assets import asset_path
+
+            char = load_char_model(asset_path("g1_description/g1_29.xml"))
+        import jax.numpy as _jnp
+
+        joint_rot = char.dof_to_rot(_jnp.asarray(states["dof_pos"]))
+        body_pos, body_rot = char.forward_kinematics(
+            _jnp.asarray(states["root_pos"]),
+            _jnp.asarray(states["root_quat"]),
+            joint_rot,
+        )
+        np.savez_compressed(
+            path + ".npz",
+            body_pos=np.asarray(body_pos),
+            body_rot=np.asarray(body_rot),
+            body_names=np.asarray(char.body_names),
+            parents=char.parent_indices,
+        )
+        try:
+            render_video(char, np.asarray(body_pos), path, fps=1.0 / self.env.ctrl_dt)
+        except Exception as e:  # rendering must never kill training
+            print(f"video render failed: {e}")
 
     # ----------------------------------------------------------------- eval
 

@@ -58,3 +58,39 @@ def test_ppo_reward_is_task_reward():
     agent = build_agent(cfg, env)
     assert agent.cfg.disc_mode == "none"
     assert agent.cfg.task_reward_weight == 1.0
+
+
+def test_std_type_variants():
+    """StdType constant/variable (distribution_gaussian_diag.py:6-9)."""
+    for std_type in ("constant", "variable"):
+        cfg = _small_cfg("add_g1")
+        cfg["agent"]["actor_std_type"] = std_type
+        agent, ts, info = _one_iter(cfg)
+        assert np.isfinite(info["loss"]), std_type
+        if std_type == "constant":
+            assert "actor_logstd" in ts.params["params"]
+        else:
+            assert "actor_logstd_head" in ts.params["params"]
+
+
+def test_cnn_trunk_forward():
+    """cnn_3conv_1fc_0 registry entry (reference nets/cnn_3conv_1fc_0.py)."""
+    from add_gym_tpu.learning.networks import build_trunk
+
+    net = build_trunk("cnn_3conv_1fc_0")
+    x = jnp.zeros((2, 84, 84, 4))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (2, 512)
+
+
+def test_categorical_distribution():
+    from add_gym_tpu.learning import distributions as dist
+
+    logits = jnp.asarray([[2.0, 0.0, -1.0], [0.0, 3.0, 0.0]])
+    assert list(np.asarray(dist.categorical_mode(logits))) == [0, 1]
+    x = dist.categorical_sample(jax.random.PRNGKey(0), logits)
+    lp = dist.categorical_log_prob(logits, x)
+    assert lp.shape == (2,) and np.all(np.asarray(lp) <= 0)
+    ent = dist.categorical_entropy(logits)
+    assert np.all(np.asarray(ent) > 0)
