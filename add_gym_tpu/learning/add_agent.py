@@ -119,8 +119,10 @@ class ADDAgent:
 
     # ------------------------------------------------------------------ init
 
-    def init_train_state(self) -> TrainState:
-        k1, self._key = jax.random.split(self._key)
+    def init_train_state(self, key=None) -> TrainState:
+        if key is None:
+            key, self._key = jax.random.split(self._key)
+        k1 = key
         obs_dim = self.env.obs_dim()
         disc_dim = self.env.disc_obs_dim()
         params = self.net.init(
