@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -70,6 +71,9 @@ class EngineParams:
     friction_mu: jnp.ndarray | float = 1.0
     friction_vslip: float = field(metadata=dict(static=True), default=0.05)
     gravity: float = field(metadata=dict(static=True), default=9.81)
+    # sphere-sphere self-collision on the model's curated pairs
+    # (ref env.py:66-72 enable_self_collision)
+    self_collision: bool = field(metadata=dict(static=True), default=True)
 
 
 def default_state(model: PhysicsModel, num_envs: int, dtype=jnp.float32) -> SimState:
@@ -200,6 +204,57 @@ def contact_forces(
     return f_ext, contact
 
 
+def self_collision_forces(
+    model: PhysicsModel, params: EngineParams, body_pos, body_rot,
+    omega_w, v_origin_w, dt,
+):
+    """Sphere-sphere self-collision penalty forces.
+
+    Returns f_ext_sc [N, nb, 6] world spatial forces about body origins.
+    Spheres/pairs come from the model build (model.py:_build_self_collision,
+    rest-pose-pruned); the spring/damper rates follow the ground-contact
+    stability caps.  Self-contacts do NOT feed the ground-contact
+    termination map (the reference queries contacts with the plane entity
+    only, robot.py:221-231).
+    """
+    f32 = body_pos.dtype
+    N = body_pos.shape[0]
+    f_ext = jnp.zeros((N, model.nb, 6), f32)
+    if model.sc_pairs.size == 0 or not params.self_collision:
+        return f_ext
+
+    scb = model.sc_body
+    Wb = body_rot[:, scb]                                    # [N, S, 3, 3]
+    r_w = jnp.einsum("nsij,sj->nsi", Wb, jnp.asarray(model.sc_pos, f32))
+    x_w = body_pos[:, scb] + r_w                             # [N, S, 3]
+    v_pt = v_origin_w[:, scb] + jnp.cross(omega_w[:, scb], r_w)
+
+    ia, ib = model.sc_pairs[:, 0], model.sc_pairs[:, 1]
+    d = x_w[:, ia] - x_w[:, ib]                              # [N, Q, 3]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    rsum = jnp.asarray(model.sc_radius[ia] + model.sc_radius[ib], f32)
+    pen = rsum - dist
+    active = (pen > 0.0).astype(f32)
+    n = d / dist[..., None]
+
+    omega_n = 2.0 / params.contact_timeconst
+    m = np.asarray(model.sc_stiff_mass, np.float64)
+    k = np.minimum(m * omega_n * omega_n, 0.25 * m / (dt * dt)).astype(np.float32)
+    b = np.minimum(2.0 * m * omega_n, 0.5 * m / dt).astype(np.float32)
+
+    vn = jnp.sum((v_pt[:, ia] - v_pt[:, ib]) * n, axis=-1)
+    fmag = jnp.maximum(k * pen - b * vn, 0.0) * active       # [N, Q]
+    f = fmag[..., None] * n                                  # on sphere a
+
+    tau_a = jnp.cross(r_w[:, ia], f)
+    tau_b = jnp.cross(r_w[:, ib], -f)
+    f_ext = f_ext.at[:, scb[ia], 0:3].add(tau_a)
+    f_ext = f_ext.at[:, scb[ia], 3:6].add(f)
+    f_ext = f_ext.at[:, scb[ib], 0:3].add(tau_b)
+    f_ext = f_ext.at[:, scb[ib], 3:6].add(-f)
+    return f_ext
+
+
 def _body_world_velocities(model: PhysicsModel, state: SimState, body_rot):
     """Angular velocity and origin linear velocity of every body (world).
 
@@ -243,10 +298,22 @@ def apply_pd_target(model: PhysicsModel, params: EngineParams, state: SimState, 
     return state.pd_target + delta
 
 
-def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: float):
-    """One physics substep: contacts -> PD torque -> ABA -> integrate."""
+def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: float,
+            sc_f_ext=None):
+    """One physics substep: contacts -> PD torque -> ABA -> integrate.
+
+    ``sc_f_ext`` holds precomputed self-collision forces for the control
+    step (see :func:`step`); when None they are evaluated live.
+    """
     body_pos, body_rot = forward_kinematics(model, state)
     f_ext_w, contact = contact_forces(model, params, body_pos, body_rot, state, dt)
+    if sc_f_ext is not None:
+        f_ext_w = f_ext_w + sc_f_ext
+    elif params.self_collision and model.sc_pairs.size:
+        omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
+        f_ext_w = f_ext_w + self_collision_forces(
+            model, params, body_pos, body_rot, omega_w, v_origin_w, dt
+        )
 
     # PD torque (explicit part), ref mjwarp_engine.py:1554-1607
     q, qd = state.dof_pos, state.dof_vel
@@ -346,8 +413,18 @@ def step(model: PhysicsModel, params: EngineParams, state: SimState, pd_target):
     )
     dt = params.ctrl_dt / params.substeps
 
+    # self-collision forces vary slowly vs the 400 Hz substep rate: evaluate
+    # once per control step and hold (matches fused_step / pallas_step)
+    sc_f_ext = None
+    if params.self_collision and model.sc_pairs.size:
+        body_pos, body_rot = forward_kinematics(model, state)
+        omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
+        sc_f_ext = self_collision_forces(
+            model, params, body_pos, body_rot, omega_w, v_origin_w, dt
+        )
+
     def body(s, _):
-        s, contact = substep(model, params, s, dt)
+        s, contact = substep(model, params, s, dt, sc_f_ext)
         return s, contact
 
     state, contacts = jax.lax.scan(body, state, None, length=params.substeps)

@@ -192,6 +192,13 @@ class FusedModelConstants:
         self.cp_mass_stab = np.asarray(model.cp_mass_stab, np.float64)
         self.cp_explicit = np.asarray(model.cp_explicit)
 
+        # self-collision spheres and tested pairs
+        self.sc_body = np.asarray(model.sc_body, np.int32)
+        self.sc_pos = np.asarray(model.sc_pos, np.float64)
+        self.sc_radius = np.asarray(model.sc_radius, np.float64)
+        self.sc_pairs = np.asarray(model.sc_pairs, np.int32)
+        self.sc_stiff_mass = np.asarray(model.sc_stiff_mass, np.float64)
+
     @staticmethod
     def _quat_mat(q):
         w, x, y, z = q
@@ -257,47 +264,19 @@ def _quat_update_stacked(root_quat, new_ang, dt):
     return jnp.stack([w * sign * n, x * sign * n, y * sign * n, z * sign * n])
 
 
-def _substep_core(
-    fc: FusedModelConstants,
-    params: EngineParams,
-    kp,          # [nd, 1] or [nd, B]
-    kv,          # [nd, 1] or [nd, B]
-    mu,          # scalar or [B]
-    dof_tables,  # (damping, friction, lo, hi), each [nd, 1] or [nd, B]
-    dt,
-    root_pos,    # [3, B]
-    root_quat,   # [4, B]
-    root_vel,    # [3, B]
-    root_ang,    # [3, B]
-    q,           # [nd, B]
-    qd,          # [nd, B]
-    tgt,         # [nd, B]
-    vectorized_contacts: bool = False,
-):
-    """One physics substep on stacked env-minor arrays.
+def _fk_stacked(fc, root_pos, root_quat, root_vel, root_ang, qd, cos, sin):
+    """Stacked forward kinematics + velocity propagation.
 
-    Pure stacked math, kernel-safe (model constants enter as Python floats,
-    never as jnp constant arrays) — shared between the XLA path
-    (fused_substep) and the Pallas megakernel (physics/pallas_step.py).
-    ``vectorized_contacts`` selects the [P,3,N]-batched contact formulation
-    (faster under XLA, uses constant arrays so kernel-incompatible) over the
-    per-point float-constant loop (Pallas-safe).
-    Returns (root_pos, root_quat, root_vel, root_ang, q, qd, contact [nb, B]).
+    Returns per-body lists: W [3,3,N] body->world rotations, o [3,N] world
+    origins, omega/vel [3,N] world angular / origin linear velocities,
+    M [3,3,N] parent->body joint rotations.
     """
     nb = fc.nb
-    nd = fc.model.nd
-    N = root_pos.shape[-1]
-    f32 = root_pos.dtype
-
-    cos = jnp.cos(q)                       # [nd, N]
-    sin = jnp.sin(q)
-
-    # ---------------------------------------------------------- FK + vel
-    W: List = [None] * nb                  # body->world rotations [3,3,N]
-    o: List = [None] * nb                  # world origins [3,N]
-    omega: List = [None] * nb              # world angular velocity [3,N]
-    vel: List = [None] * nb                # world origin linear velocity [3,N]
-    M: List = [None] * nb                  # parent->body joint rotation [3,3,N]
+    W: List = [None] * nb
+    o: List = [None] * nb
+    omega: List = [None] * nb
+    vel: List = [None] * nb
+    M: List = [None] * nb
 
     W[0] = _quat_to_mat_T(root_quat)
     o[0] = root_pos
@@ -327,6 +306,103 @@ def _substep_core(
         ax_w = m33_vec_c(W[i], fc.axis[i])
         omega[i] = omega[p] + ax_w * qd[di][None, :]
         vel[i] = vel[p] + vcross(omega[p], r_w)
+    return W, o, omega, vel, M
+
+
+def _sc_forces_stacked(fc: FusedModelConstants, params: EngineParams, dt, W, o, omega, vel):
+    """Self-collision penalty forces on stacked FK results.
+
+    Returns {body: (n [3,N], f [3,N])} world torque/force contributions.
+    Per-pair unrolled with float constants (kernel-safe); same force model
+    as engine.self_collision_forces.
+    """
+    omega_sc = 2.0 / params.contact_timeconst
+    f32 = o[0].dtype
+    sph_r: dict = {}
+    sph_x: dict = {}
+    sph_v: dict = {}
+
+    def _sphere(si: int):
+        if si in sph_x:
+            return
+        b = int(fc.sc_body[si])
+        r_sp = m33_vec_c(W[b], fc.sc_pos[si])
+        sph_r[si] = r_sp
+        sph_x[si] = o[b] + r_sp
+        sph_v[si] = vel[b] + vcross(omega[b], r_sp)
+
+    out: dict = {}
+
+    def _add(b, n_c, f_c):
+        if b in out:
+            n0, f0 = out[b]
+            out[b] = (n0 + n_c, f0 + f_c)
+        else:
+            out[b] = (n_c, f_c)
+
+    for qq in range(len(fc.sc_pairs)):
+        sa, sb = int(fc.sc_pairs[qq, 0]), int(fc.sc_pairs[qq, 1])
+        _sphere(sa)
+        _sphere(sb)
+        d = sph_x[sa] - sph_x[sb]                       # [3, N]
+        dist = jnp.sqrt(vdot(d, d) + 1e-12)
+        pen = float(fc.sc_radius[sa] + fc.sc_radius[sb]) - dist
+        active = (pen > 0.0).astype(f32)
+        n_dir = d / dist[None]
+        vn = vdot(sph_v[sa] - sph_v[sb], n_dir)
+
+        m = float(fc.sc_stiff_mass[qq])
+        k_sc = min(m * omega_sc * omega_sc, 0.25 * m / (dt * dt))
+        b_sc = min(2.0 * m * omega_sc, 0.5 * m / dt)
+        fmag = jnp.maximum(k_sc * pen - b_sc * vn, 0.0) * active
+        f_sc = n_dir * fmag[None]
+
+        ba, bb = int(fc.sc_body[sa]), int(fc.sc_body[sb])
+        _add(ba, vcross(sph_r[sa], f_sc), f_sc)
+        _add(bb, -vcross(sph_r[sb], f_sc), -f_sc)
+    return out
+
+
+def _substep_core(
+    fc: FusedModelConstants,
+    params: EngineParams,
+    kp,          # [nd, 1] or [nd, B]
+    kv,          # [nd, 1] or [nd, B]
+    mu,          # scalar or [B]
+    dof_tables,  # (damping, friction, lo, hi), each [nd, 1] or [nd, B]
+    dt,
+    root_pos,    # [3, B]
+    root_quat,   # [4, B]
+    root_vel,    # [3, B]
+    root_ang,    # [3, B]
+    q,           # [nd, B]
+    qd,          # [nd, B]
+    tgt,         # [nd, B]
+    vectorized_contacts: bool = False,
+    sc_ext=None,  # {body: (n [3,B], f [3,B])} held self-collision forces
+):
+    """One physics substep on stacked env-minor arrays.
+
+    Pure stacked math, kernel-safe (model constants enter as Python floats,
+    never as jnp constant arrays) — shared between the XLA path
+    (fused_substep) and the Pallas megakernel (physics/pallas_step.py).
+    ``vectorized_contacts`` selects the [P,3,N]-batched contact formulation
+    (faster under XLA, uses constant arrays so kernel-incompatible) over the
+    per-point float-constant loop (Pallas-safe).
+    Returns (root_pos, root_quat, root_vel, root_ang, q, qd, contact [nb, B]).
+    """
+    nb = fc.nb
+    nd = fc.model.nd
+    N = root_pos.shape[-1]
+    f32 = root_pos.dtype
+
+    cos = jnp.cos(q)                       # [nd, N]
+    sin = jnp.sin(q)
+
+    # ---------------------------------------------------------- FK + vel
+    W, o, omega, vel, M = _fk_stacked(
+        fc, root_pos, root_quat, root_vel, root_ang, qd, cos, sin
+    )
 
     # ---------------------------------------------------------- contacts
     # per-body point groups with constant point arrays: avoids gathers and
@@ -432,6 +508,15 @@ def _substep_core(
         f_w[b] = jnp.stack([fx_acc, fy_acc, fz_acc])     # [3, N]
         n_w[b] = jnp.stack([nx_acc, ny_acc, nz_acc])
     contact = jnp.stack(contact_l)                       # [nb, N]
+
+    # ---------------------------------------------- self-collision (held)
+    # penalty forces from curated sphere pairs, evaluated once per control
+    # step (fused_step / pallas_step) and held constant across substeps —
+    # they vary slowly relative to the 400 Hz substep rate
+    if sc_ext is not None:
+        for b, (n_c, f_c) in sc_ext.items():
+            n_w[b] = n_w[b] + n_c
+            f_w[b] = f_w[b] + f_c
 
     # ------------------------------------------------------- joint torques
     t_pd = jnp.clip(kp * (tgt - q) - kv * qd, -params.max_torque, params.max_torque)
@@ -618,12 +703,14 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
     """
     kp, kv, mu = _prep_params(fc, params, state.root_pos.dtype)
     tables = _dof_tables(fc, state.root_pos.dtype)
+    sc_ext = compute_sc_ext(fc, params, dt, state)
     rp, rq, rv, ra, q, qd, contact = _substep_core(
         fc, params, kp, kv, mu, tables, dt,
         state.root_pos.T, state.root_quat.T, state.root_vel.T,
         state.root_ang_vel.T, state.dof_pos.T, state.dof_vel.T,
         state.pd_target.T,
         vectorized_contacts=True,
+        sc_ext=sc_ext,
     )
     new_state = SimState(
         root_pos=rp.T,
@@ -712,9 +799,35 @@ def fused_step(fc: FusedModelConstants, params: EngineParams, state: SimState, p
     state = replace(state, pd_target=tgt)
     dt = params.ctrl_dt / params.substeps
 
+    kp, kv, mu = _prep_params(fc, params, state.root_pos.dtype)
+    tables = _dof_tables(fc, state.root_pos.dtype)
+    sc_ext = compute_sc_ext(fc, params, dt, state)
+
     def body(s, _):
-        s, contact = fused_substep(fc, params, s, dt)
-        return s, contact
+        rp, rq, rv, ra, q, qd, contact = _substep_core(
+            fc, params, kp, kv, mu, tables, dt,
+            s.root_pos.T, s.root_quat.T, s.root_vel.T, s.root_ang_vel.T,
+            s.dof_pos.T, s.dof_vel.T, s.pd_target.T,
+            vectorized_contacts=True,
+            sc_ext=sc_ext,
+        )
+        s2 = SimState(
+            root_pos=rp.T, root_quat=rq.T, root_vel=rv.T, root_ang_vel=ra.T,
+            dof_pos=q.T, dof_vel=qd.T, pd_target=s.pd_target,
+        )
+        return s2, contact.T
 
     state, contacts = jax.lax.scan(body, state, None, length=params.substeps)
     return state, contacts[-1]
+
+
+def compute_sc_ext(fc: FusedModelConstants, params: EngineParams, dt, state: SimState):
+    """Held self-collision forces for a control step (or None)."""
+    if not params.self_collision or not len(fc.sc_pairs):
+        return None
+    q = state.dof_pos.T
+    W, o, omega, vel, _ = _fk_stacked(
+        fc, state.root_pos.T, state.root_quat.T, state.root_vel.T,
+        state.root_ang_vel.T, state.dof_vel.T, jnp.cos(q), jnp.sin(q),
+    )
+    return _sc_forces_stacked(fc, params, dt, W, o, omega, vel)

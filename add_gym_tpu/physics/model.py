@@ -65,6 +65,13 @@ class PhysicsModel:
     # AABB of all collidable geometry per body (body frame), for init height
     body_aabb: np.ndarray     # [nb, 2, 3]
 
+    # self-collision spheres + tested sphere pairs (possibly empty)
+    sc_body: np.ndarray       # [S] body index
+    sc_pos: np.ndarray        # [S, 3] body frame
+    sc_radius: np.ndarray     # [S]
+    sc_pairs: np.ndarray      # [Q, 2] sphere indices
+    sc_stiff_mass: np.ndarray  # [Q] pair effective mass (contact rates)
+
     body_names: list
     joint_names: list  # [nd] MJCF joint names (hinges, BFS order)
 
@@ -295,6 +302,10 @@ def build_physics_model(mjcf_path: str, char: CharModel | None = None) -> Physic
         1.0 / (inv_meff * np.maximum(counts[cp_body_arr], 1)), 1e-4
     )
 
+    sc_body, sc_pos, sc_radius, sc_pairs, sc_stiff = _build_self_collision(
+        char, char.body_names, body_aabb, mass
+    )
+
     f32 = lambda x: np.asarray(x, np.float32)
     return PhysicsModel(
         parent=char.parent_indices.copy(),
@@ -317,8 +328,131 @@ def build_physics_model(mjcf_path: str, char: CharModel | None = None) -> Physic
         cp_mass_stab=f32(cp_mass_stab),
         cp_explicit=np.asarray(cp_explicit, bool),
         body_aabb=f32(body_aabb),
+        sc_body=sc_body,
+        sc_pos=sc_pos,
+        sc_radius=sc_radius,
+        sc_pairs=sc_pairs,
+        sc_stiff_mass=sc_stiff,
         body_names=list(char.body_names),
         joint_names=[char.joint_names[i] for i in range(1, nb)],
+    )
+
+
+# body groups tested for self-collision (reference enables full self-
+# collision in the engine, envs/env.py:66-72; here: the pairs that matter
+# for humanoid motion — crossing legs, arms vs torso/legs, arm vs arm),
+# auto-pruned of pairs already proximate in the default standing pose
+_SC_GROUPS = {
+    "thigh": r".*hip_yaw_link",
+    "shin": r".*knee_link",
+    "foot": r".*ankle_roll_link",
+    "torso": r"torso_link",
+    "pelvis": r"pelvis",
+    "forearm": r".*elbow_link",
+    "hand": r".*wrist_pitch_link",
+}
+_SC_PAIR_GROUPS = [
+    # left/right leg crossings
+    ("thigh", "thigh"), ("thigh", "shin"), ("thigh", "foot"),
+    ("shin", "shin"), ("shin", "foot"), ("foot", "foot"),
+    # arms vs trunk and legs
+    ("forearm", "torso"), ("forearm", "pelvis"), ("forearm", "thigh"),
+    ("hand", "torso"), ("hand", "pelvis"), ("hand", "thigh"),
+    ("hand", "shin"),
+    # arm vs arm
+    ("forearm", "forearm"), ("hand", "hand"), ("forearm", "hand"),
+]
+
+
+def _rest_pose_fk(char: CharModel):
+    """World body positions/rotations at the zero pose (host numpy)."""
+    nb = char.num_bodies
+    pos = np.zeros((nb, 3))
+    rot = np.zeros((nb, 3, 3))
+    rot[0] = np.eye(3)
+    lq = char.local_rotation_wxyz()
+    for i in range(1, nb):
+        p = int(char.parent_indices[i])
+        L = _quat_wxyz_to_mat(np.asarray(lq[i], np.float64))
+        rot[i] = rot[p] @ L
+        pos[i] = pos[p] + rot[p] @ np.asarray(char.local_translation[i], np.float64)
+    return pos, rot
+
+
+def _build_self_collision(char: CharModel, body_names, body_aabb, mass):
+    """Spheres per grouped body (from its collision AABB) + tested pairs."""
+    import re
+
+    group_bodies = {
+        g: [i for i, n in enumerate(body_names) if re.fullmatch(pat, n)]
+        for g, pat in _SC_GROUPS.items()
+    }
+
+    sc_body, sc_pos, sc_radius = [], [], []
+    body_spheres = {}
+    for g, bodies in group_bodies.items():
+        for b in bodies:
+            lo, hi = body_aabb[b]
+            ext = hi - lo
+            if not ext.any():
+                continue
+            center = 0.5 * (lo + hi)
+            order = np.argsort(ext)
+            long_ax, mid_e, min_e = order[-1], ext[order[1]], ext[order[0]]
+            radius = max(0.25 * (mid_e + min_e), 0.02)
+            offs = [0.0]
+            if ext[long_ax] > 1.8 * mid_e:
+                d = max(0.5 * ext[long_ax] - radius, 0.0)
+                offs = [-d, d]
+            ids = []
+            for off in offs:
+                p = center.copy()
+                p[long_ax] += off
+                ids.append(len(sc_body))
+                sc_body.append(b)
+                sc_pos.append(p)
+                sc_radius.append(radius)
+            body_spheres[b] = ids
+
+    # candidate sphere pairs from the group pairs (skip same body / parents)
+    pairs = set()
+    parent = char.parent_indices
+    for ga, gb in _SC_PAIR_GROUPS:
+        for ba in group_bodies[ga]:
+            for bb in group_bodies[gb]:
+                if ba == bb or parent[ba] == bb or parent[bb] == ba:
+                    continue
+                if ba not in body_spheres or bb not in body_spheres:
+                    continue
+                for sa in body_spheres[ba]:
+                    for sb in body_spheres[bb]:
+                        pairs.add((min(sa, sb), max(sa, sb)))
+
+    # prune pairs already proximate in the rest pose (margin 3 cm): they
+    # would fire constantly and fight the default stance
+    sc_pos_np = np.asarray(sc_pos) if sc_pos else np.zeros((0, 3))
+    sc_body_np = np.asarray(sc_body, np.int32)
+    sc_radius_np = np.asarray(sc_radius) if sc_radius else np.zeros((0,))
+    pos_w, rot_w = _rest_pose_fk(char)
+    world = np.array(
+        [pos_w[b] + rot_w[b] @ p for b, p in zip(sc_body_np, sc_pos_np)]
+    ) if len(sc_body_np) else np.zeros((0, 3))
+
+    kept, stiff = [], []
+    for sa, sb in sorted(pairs):
+        dist = np.linalg.norm(world[sa] - world[sb])
+        if dist < sc_radius_np[sa] + sc_radius_np[sb] + 0.03:
+            continue
+        kept.append((sa, sb))
+        ma, mb = mass[sc_body_np[sa]], mass[sc_body_np[sb]]
+        stiff.append(1.0 / (1.0 / max(ma, 1e-3) + 1.0 / max(mb, 1e-3)))
+
+    return (
+        sc_body_np,
+        sc_pos_np.astype(np.float32),
+        sc_radius_np.astype(np.float32),
+        np.asarray(kept, np.int32).reshape(-1, 2),
+        np.asarray(stiff, np.float32),
     )
 
 

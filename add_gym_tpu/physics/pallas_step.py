@@ -31,7 +31,9 @@ from add_gym_tpu.physics.engine import EngineParams, SimState
 from add_gym_tpu.physics.fused_step import (
     FusedModelConstants,
     _dof_tables,
+    _fk_stacked,
     _prep_params,
+    _sc_forces_stacked,
     _substep_core,
 )
 
@@ -70,10 +72,19 @@ def _control_step_kernel(
     )
     tgt = prev_tgt + delta
 
+    # held self-collision forces for the whole control step
+    sc_ext = None
+    if params.self_collision and len(fc.sc_pairs):
+        W, o, omega, vel, _ = _fk_stacked(
+            fc, rp, rq, rv, ra, qd, jnp.cos(q), jnp.sin(q)
+        )
+        sc_ext = _sc_forces_stacked(fc, params, dt, W, o, omega, vel)
+
     contact = None
     for _ in range(params.substeps):
         rp, rq, rv, ra, q, qd, contact = _substep_core(
-            fc, params, kp, kv, mu, tables, dt, rp, rq, rv, ra, q, qd, tgt
+            fc, params, kp, kv, mu, tables, dt, rp, rq, rv, ra, q, qd, tgt,
+            sc_ext=sc_ext,
         )
 
     rp_o[:] = rp
