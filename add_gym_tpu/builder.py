@@ -168,6 +168,8 @@ def build_agent(cfg: Dict, env: ImitationEnv, key=None) -> ADDAgent:
         critic_loss_weight=float(a.get("critic_loss_weight", 1.0)),
         learning_rate=float(a.get("learning_rate", 1e-4)),
         grad_clip=float(a.get("grad_clip", 1.0)),
+        optimizer=a.get("optimizer", "adam"),
+        momentum=float(a.get("momentum", 0.9)),
         disc_loss_weight=float(a.get("disc_loss_weight", 0.5)),
         disc_logit_reg=float(a.get("disc_logit_reg", 0.01)),
         disc_grad_penalty=float(a.get("disc_grad_penalty", 20.0)),

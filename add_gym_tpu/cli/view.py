@@ -104,7 +104,7 @@ def main(argv=None):
     from add_gym_tpu.motion.motion_lib import load_motion_lib
     from add_gym_tpu.builder import MOTION_JOINT_ORDER
 
-    cfg = load_config("train", overrides)
+    cfg = load_config("view", overrides)
     fps = float(cfg.get("fps", 30.0))
 
     char = load_char_model(

@@ -48,6 +48,10 @@ class AgentConfig:
     critic_loss_weight: float = 1.0
     learning_rate: float = 1e-4
     grad_clip: float = 1.0
+    # "adam" (AdamW, reference default) or "sgd" (+momentum 0.9),
+    # ref mp_optimizer.py:28-47
+    optimizer: str = "adam"
+    momentum: float = 0.9
     disc_loss_weight: float = 0.5
     disc_logit_reg: float = 0.01
     disc_grad_penalty: float = 20.0
@@ -111,9 +115,12 @@ class ADDAgent:
             0.5 * (env.action_high - env.action_low), jnp.float32
         )
 
+        if cfg.optimizer == "sgd":
+            opt = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+        else:
+            opt = optax.adamw(cfg.learning_rate, weight_decay=0.0)
         self.optimizer = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(cfg.learning_rate, weight_decay=0.0),
+            optax.clip_by_global_norm(cfg.grad_clip), opt
         )
         self._key = key
 
@@ -325,6 +332,15 @@ class ADDAgent:
             actor_loss = actor_loss + cfg.action_bound_weight * bound_loss
         else:
             bound_loss = 0.0
+
+        # entropy bonus / action param regularization (ppo_agent.py:262-272;
+        # both default to weight 0 in the reference config)
+        if cfg.action_entropy_weight != 0:
+            ent = jnp.mean(dist.entropy(mean, logstd))
+            actor_loss = actor_loss - cfg.action_entropy_weight * ent
+        if cfg.action_reg_weight != 0:
+            reg = jnp.mean(dist.param_reg(mean))
+            actor_loss = actor_loss + cfg.action_reg_weight * reg
 
         loss = actor_loss + cfg.critic_loss_weight * critic_loss
         info = dict(
