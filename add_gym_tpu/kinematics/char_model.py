@@ -206,6 +206,92 @@ class CharModel:
         return jnp.stack(pos, axis=-2), jnp.stack(quat, axis=-2)
 
 
+    # ------------------------------------------------------------- MJCF export
+
+    def export_mjcf(self, output_file: str) -> None:
+        """Write the skeleton as a standalone MJCF file.
+
+        Counterpart of the reference's ``output_xml`` (kin_char_model.py:
+        403-592), used for retargeting/visualisation workflows.  Emits the
+        body tree with hinge joints (spherical joints expand to three
+        orthogonal hinges) and simple capsule geoms toward each child body;
+        round-trips through :func:`load_char_model` (same BFS structure).
+        """
+        children: dict = {i: [] for i in range(self.num_bodies)}
+        for i in range(1, self.num_bodies):
+            children[int(self.parent_indices[i])].append(i)
+
+        def geom_xml(i: int, indent: str) -> str:
+            parts = []
+            for c in children[i]:
+                t = self.local_translation[c]
+                length = float(np.linalg.norm(t))
+                if length < 1e-6:
+                    continue
+                parts.append(
+                    f'{indent}<geom type="capsule" fromto="0 0 0 '
+                    f'{t[0]:.4f} {t[1]:.4f} {t[2]:.4f}" size="0.02" '
+                    f'contype="0" conaffinity="0"/>'
+                )
+            if not parts:
+                parts.append(
+                    f'{indent}<geom type="sphere" size="0.02" contype="0" '
+                    f'conaffinity="0"/>'
+                )
+            return "\n".join(parts)
+
+        def joint_xml(i: int, indent: str) -> str:
+            jt = JointType(int(self.joint_types[i]))
+            name = self.joint_names[i]
+            if jt == JointType.HINGE:
+                ax = self.joint_axes[i]
+                return (
+                    f'{indent}<joint name="{name}" type="hinge" '
+                    f'axis="{ax[0]:.4f} {ax[1]:.4f} {ax[2]:.4f}" '
+                    f'range="-3.14 3.14"/>'
+                )
+            if jt == JointType.SPHERICAL:
+                return "\n".join(
+                    f'{indent}<joint name="{name}_{suffix}" type="hinge" '
+                    f'axis="{ax}" range="-3.14 3.14"/>'
+                    for suffix, ax in (("x", "1 0 0"), ("y", "0 1 0"), ("z", "0 0 1"))
+                )
+            return ""  # ROOT (free) / FIXED
+
+        def body_xml(i: int, depth: int) -> str:
+            ind = "    " * depth
+            t = self.local_translation[i]
+            qx = self.local_rotation[i]  # xyzw
+            quat = f"{qx[3]:.6f} {qx[0]:.6f} {qx[1]:.6f} {qx[2]:.6f}"
+            lines = [
+                f'{ind}<body name="{self.body_names[i]}" '
+                f'pos="{t[0]:.4f} {t[1]:.4f} {t[2]:.4f}" quat="{quat}">'
+            ]
+            inner = "    " * (depth + 1)
+            if i == 0:
+                lines.append(f'{inner}<freejoint name="root"/>')
+            j = joint_xml(i, inner)
+            if j:
+                lines.append(j)
+            lines.append(
+                f'{inner}<inertial pos="0 0 0" mass="1.0" '
+                f'diaginertia="0.01 0.01 0.01"/>'
+            )
+            lines.append(geom_xml(i, inner))
+            for c in children[i]:
+                lines.append(body_xml(c, depth + 1))
+            lines.append(f"{ind}</body>")
+            return "\n".join(lines)
+
+        xml = (
+            '<mujoco model="character">\n  <worldbody>\n'
+            + body_xml(0, 2)
+            + "\n  </worldbody>\n</mujoco>\n"
+        )
+        with open(output_file, "w") as f:
+            f.write(xml)
+
+
 # -------------------------------------------------------------------- parse
 
 

@@ -106,3 +106,25 @@ def test_forward_kinematics_batched(model):
     assert pos.shape == (5, 30, 3)
     assert quat.shape == (5, 30, 4)
     assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_mjcf_export_round_trip(tmp_path):
+    """export_mjcf -> load_char_model reproduces the skeleton
+    (ref kin_char_model.py:403-592 output_xml)."""
+    import numpy as np
+    from add_gym_tpu.kinematics.char_model import load_char_model
+    from add_gym_tpu.utils.assets import asset_path
+
+    char = load_char_model(asset_path("g1_description/g1_29.xml"))
+    out = tmp_path / "skeleton.xml"
+    char.export_mjcf(str(out))
+    re = load_char_model(str(out))
+
+    assert re.body_names == char.body_names
+    assert re.get_joint_order() == char.get_joint_order()
+    np.testing.assert_array_equal(re.parent_indices, char.parent_indices)
+    np.testing.assert_allclose(
+        re.local_translation, char.local_translation, atol=1e-4
+    )
+    np.testing.assert_allclose(re.joint_axes, char.joint_axes, atol=1e-4)
+    np.testing.assert_array_equal(re.joint_types, char.joint_types)
