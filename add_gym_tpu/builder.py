@@ -180,6 +180,8 @@ def build_agent(cfg: Dict, env: ImitationEnv, key=None) -> ADDAgent:
         action_std=float(a.get("action_std", 0.05)),
         actor_std_type=a.get("actor_std_type", "fixed"),
         exp_prob=float(a.get("exp_prob", 1.0)),
+        exp_prob_end=float(a.get("exp_prob_end", 1.0)),
+        exp_anneal_samples=float(a.get("exp_anneal_samples", float("inf"))),
         normalizer_samples=float(a.get("normalizer_samples", 1e8)),
         disc_mode=a.get("disc_mode", "add"),
         actor_net=a.get("actor_net", "fc_3layers_1024units"),

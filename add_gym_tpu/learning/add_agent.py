@@ -62,7 +62,11 @@ class AgentConfig:
     action_std: float = 0.05
     # StdType (distribution_gaussian_diag.py:6-9): fixed | constant | variable
     actor_std_type: str = "fixed"
-    exp_prob: float = 1.0
+    exp_prob: float = 1.0            # initial exploration probability
+    # linear anneal exp_prob -> exp_prob_end over exp_anneal_samples
+    # (ppo_agent.py:160-169; inf = constant, the reference default)
+    exp_prob_end: float = 1.0
+    exp_anneal_samples: float = float("inf")
     normalizer_samples: float = 1e8
     # discriminator mode (reference agent hierarchy, SURVEY.md §2.4):
     #   "add"  — ADDAgent: disc on normalized obs *differences*, zero-vector
@@ -154,17 +158,30 @@ class ADDAgent:
 
     # --------------------------------------------------------------- acting
 
-    def _decide_action(self, params, obs_norm, key, obs, train: bool):
+    def _exp_prob(self, sample_count):
+        """Annealed exploration probability.  Ref: ppo_agent.py:160-169."""
+        cfg = self.cfg
+        if not np.isfinite(cfg.exp_anneal_samples):
+            return cfg.exp_prob
+        l = jnp.clip(
+            sample_count.astype(jnp.float32) / cfg.exp_anneal_samples, 0.0, 1.0
+        )
+        return (1.0 - l) * cfg.exp_prob + l * cfg.exp_prob_end
+
+    def _decide_action(self, params, obs_norm, key, obs, train: bool,
+                       exp_prob=None):
         """Ref: ppo_agent.py:72-104 (rand-action-mask exploration)."""
         norm_obs = norm.normalize(obs_norm, obs)
         mean, logstd = self.net.apply(params, norm_obs, method=ADDNet.actor)
         if logstd is None:  # std_type == "fixed"
             logstd = jnp.full_like(mean, self.logstd)
         if train:
+            if exp_prob is None:
+                exp_prob = self.cfg.exp_prob
             k1, k2 = jax.random.split(key)
             a_rand = dist.sample(k1, mean, logstd)
             mask = jax.random.bernoulli(
-                k2, self.cfg.exp_prob, (mean.shape[0], 1)
+                k2, exp_prob, (mean.shape[0], 1)
             ).astype(jnp.float32)
             norm_a = jnp.where(mask == 1.0, a_rand, mean)
             rand_mask = mask[:, 0]
@@ -182,11 +199,13 @@ class ADDAgent:
         """lax.scan over env steps.  Ref: base_agent.py:379-391 + §3.3 flow."""
         env = self.env
 
+        exp_prob = self._exp_prob(ts.sample_count) if train else None
+
         def step_fn(carry, _):
             env_state, obs, key = carry
             key, k_act, k_reset = jax.random.split(key, 3)
             action, _, a_logp, rand_mask = self._decide_action(
-                ts.params, ts.obs_norm, k_act, obs, train
+                ts.params, ts.obs_norm, k_act, obs, train, exp_prob
             )
             (env_state2, next_obs, disc_obs, disc_demo, reward, done) = env.step(
                 env_state, action

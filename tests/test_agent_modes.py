@@ -94,3 +94,20 @@ def test_categorical_distribution():
     assert lp.shape == (2,) and np.all(np.asarray(lp) <= 0)
     ent = dist.categorical_entropy(logits)
     assert np.all(np.asarray(ent) > 0)
+
+
+def test_exp_prob_annealing():
+    """Linear exploration anneal (ppo_agent.py:160-169)."""
+    cfg = _small_cfg("add_g1")
+    cfg["agent"]["exp_prob"] = 1.0
+    cfg["agent"]["exp_prob_end"] = 0.2
+    cfg["agent"]["exp_anneal_samples"] = 1000.0
+    env = build_env(cfg)
+    agent = build_agent(cfg, env)
+    assert float(agent._exp_prob(jnp.asarray(0))) == 1.0
+    assert abs(float(agent._exp_prob(jnp.asarray(500))) - 0.6) < 1e-6
+    assert float(agent._exp_prob(jnp.asarray(10_000))) == pytest.approx(0.2)
+    # constant when anneal samples is inf (reference default)
+    cfg["agent"]["exp_anneal_samples"] = float("inf")
+    agent2 = build_agent(cfg, env)
+    assert agent2._exp_prob(jnp.asarray(10**9)) == 1.0
