@@ -64,10 +64,19 @@ def main():
     upd = jax.jit(lambda ts, data, key: agent.update_model(ts, data, key))
     _, t_upd = timeit("update_model", upd, ts2, data, jax.random.PRNGKey(2))
 
-    # full train_iter for comparison
-    _, t_full = timeit(
-        "train_iter (full)", agent.train_iter, ts, es, obs, jax.random.PRNGKey(3)
-    )
+    # full train_iter for comparison.  train_iter donates (ts, env_state),
+    # so rebind outputs every call and time the steady state (2 warmups:
+    # chained outputs carry a different signature than fresh arrays).
+    ts2, es2, obs2 = ts, es, obs
+    for k in (3, 4):
+        ts2, es2, obs2, info = agent.train_iter(ts2, es2, obs2, jax.random.PRNGKey(k))
+    jax.block_until_ready(info)
+    t0 = time.perf_counter()
+    iters = 3
+    for k in range(iters):
+        ts2, es2, obs2, info = agent.train_iter(ts2, es2, obs2, jax.random.PRNGKey(5 + k))
+    jax.block_until_ready(info)
+    t_full = (time.perf_counter() - t0) / iters
 
     print(f"\nsum of phases: {(t_roll + t_btd + t_upd) * 1e3:.1f} ms; "
           f"full: {t_full * 1e3:.1f} ms")
