@@ -17,7 +17,7 @@ RUN pip install --no-cache-dir \
 
 COPY add_gym_tpu ./add_gym_tpu
 COPY bench.py tpu-entrypoint.sh ./
-RUN make -C add_gym_tpu/native   # native data loader (ctypes .so)
+RUN make -B -C add_gym_tpu/native   # native data loader (ctypes .so)
 
 ENV PYTHONPATH=/app
 ENTRYPOINT ["bash", "tpu-entrypoint.sh"]

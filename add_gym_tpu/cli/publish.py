@@ -70,10 +70,15 @@ def export(checkpoint: str, out_dir: str, config_path: str | None, name: str):
     from add_gym_tpu.builder import build_env, build_agent
 
     # only the train-state *structure* matters for restore; a small env
-    # batch keeps this cheap (the motion set must match for sampler shapes)
-    cfg.setdefault("engine", {})["num_envs"] = 8
-    env = build_env(cfg)
-    agent = build_agent(cfg, env)
+    # batch keeps this cheap (the motion set must match for sampler shapes).
+    # Work on a copy so the artifact's config.json records the *training*
+    # num_envs, not the structural-build override.
+    import copy
+
+    build_cfg = copy.deepcopy(cfg)
+    build_cfg.setdefault("engine", {})["num_envs"] = 8
+    env = build_env(build_cfg)
+    agent = build_agent(build_cfg, env)
     ts = agent.init_train_state()
 
     ckpter = ocp.StandardCheckpointer()

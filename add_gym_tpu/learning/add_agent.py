@@ -251,6 +251,10 @@ class ADDAgent:
         base_agent.py:624-647.
         """
         cfg = self.cfg
+        # time-aligned demo windows, captured before any AMP replacement —
+        # the adaptive sampler's error signal must measure tracking error
+        # against the *aligned* reference, not freshly sampled windows
+        aligned_demo = traj["disc_obs_demo"]
         if cfg.disc_mode == "amp" and key is not None:
             # AMP fetches fresh demo windows each iteration rather than the
             # time-aligned windows ADD uses (amp_agent.py:73-78)
@@ -271,7 +275,7 @@ class ADDAgent:
             r = cfg.task_reward_weight * task_r + cfg.disc_reward_weight * disc_r
 
         # adaptive sampler error update (add_agent.py:117-122)
-        diff = traj["disc_obs"] - traj["disc_obs_demo"]
+        diff = traj["disc_obs"] - aligned_demo
         diff_sq = jnp.sum(jnp.square(diff), axis=-1)
         new_sampler = sampler_mod.update_errors(
             ts.sampler, self.env.seg_sizes,

@@ -194,10 +194,12 @@ class Trainer:
                 )
                 vid_every = int(self.cfg.get("video_interval", 0) or 0)
                 if vid_every and (self.iter // self.iters_per_output) % vid_every == 0:
-                    if jax.process_index() == 0:
-                        self.record_video(
-                            os.path.join(self.exp_dir, f"rollout_{self.iter:07d}.gif")
-                        )
+                    # all processes participate (the rollout is a global jitted
+                    # computation and the key split must stay in lockstep);
+                    # only the host-side render/save is rank-0-gated inside
+                    self.record_video(
+                        os.path.join(self.exp_dir, f"rollout_{self.iter:07d}.gif")
+                    )
             self.iter += 1
         self.save()
 
@@ -218,7 +220,18 @@ class Trainer:
         self.es, self.obs, states = self.agent.eval_rollout_states(
             self.ts, self.es, self.obs, steps, k
         )
+        if self.mesh is not None:
+            # replicate the (tiny, env-0-only) trajectory so it is fully
+            # addressable from every process before the host transfer — a
+            # collective, so it must run on all processes
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            states = jax.jit(
+                lambda s: s, out_shardings=NamedSharding(self.mesh, P())
+            )(states)
         states = jax.device_get(states)
+        if jax.process_index() != 0:
+            return
         char = getattr(self.env, "_char", None)
         if char is None:
             from add_gym_tpu.utils.assets import asset_path

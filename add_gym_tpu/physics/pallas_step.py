@@ -40,6 +40,26 @@ from add_gym_tpu.physics.fused_step import (
 DEFAULT_BLOCK = 512  # lanes per program (multiple of 128)
 
 
+def pick_block(N: int, cap: int = DEFAULT_BLOCK) -> int:
+    """Largest multiple of 128 that divides ``N``, capped at ``cap``.
+
+    Any 128-multiple env count gets a valid block (e.g. 640 -> 128,
+    1920 -> 384); counts below 128 run as a single sub-lane block
+    (interpret-mode tests).
+    """
+    if N <= 128:
+        return N
+    b = min(cap, N)
+    b -= b % 128
+    while b >= 128 and N % b:
+        b -= 128
+    if b < 128:
+        raise ValueError(
+            f"num_envs {N} must be a multiple of 128 for the Pallas physics path"
+        )
+    return b
+
+
 def _control_step_kernel(
     fc: FusedModelConstants,
     params: EngineParams,
@@ -145,7 +165,7 @@ def pallas_step(
     ``interpret=True`` runs the kernel as plain JAX (for CPU tests).
     """
     N = state.root_pos.shape[0]
-    block = min(block, N)
+    block = pick_block(N, cap=block)
     nd = fc.model.nd
     kp, kv, mu = _prep_params(fc, params)
     tables = _dof_tables(fc)
