@@ -116,9 +116,11 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
         sampler_num_segments=int(sampler_cfg.get("num_segments", 20)),
         sampler_temperature=sampler_cfg.get("temperature"),
     )
-    # physics backend selection: "auto" uses the Pallas megakernel on a
-    # single real TPU chip (fastest; GSPMD sharding of the opaque kernel is
-    # not wired yet) and the XLA fused path everywhere else
+    # physics backend selection: "auto" uses the Pallas megakernel on TPU
+    # (single chip directly; multi-device via the shard_map wrapper,
+    # tests/test_pallas_mini.py) and the XLA fused path everywhere else.
+    # Per-device env counts must be 128-multiples (pallas_step.pick_block);
+    # mass-style DR needs per-env params and takes the fused path.
     num_envs = int(engine_cfg.get("num_envs", 256))
     pallas_cfg = engine_cfg.get("pallas", "auto")
     dr_enabled = bool((engine_cfg.get("domain_rand") or {}).get("enabled", False))

@@ -145,8 +145,17 @@ def main(argv=None):
     ap.add_argument("out_dir")
     ap.add_argument("--config", default=None, help="config.json from the run dir")
     ap.add_argument("--name", default="add-gym-tpu-g1")
+    ap.add_argument(
+        "--push", default=None, metavar="URI",
+        help="also upload the artifact (gs:// | s3:// | file://) — the "
+             "upload analog of the reference's HF push (push_to_hf.py:28-80)",
+    )
     args = ap.parse_args(argv)
     export(args.checkpoint, args.out_dir, args.config, args.name)
+    if args.push:
+        from add_gym_tpu.utils.remote import push_dir
+
+        push_dir(args.out_dir, args.push)
 
 
 if __name__ == "__main__":

@@ -51,7 +51,9 @@ def main(argv=None):
     elif mode == "test":
         ckpt = cfg.get("checkpoint")
         if ckpt:
-            trainer.load(os.path.abspath(ckpt))
+            from add_gym_tpu.utils.remote import fetch_dir
+
+            trainer.load(fetch_dir(str(ckpt)))
         info = trainer.evaluate(int(cfg.get("test_episodes", 10)))
         print(json.dumps(info))
     else:

@@ -114,10 +114,11 @@ class ImitationEnv:
         self.task = task
         self.dr = dr
         self.ctrl_dt = engine_params.ctrl_dt
-        # Physics backends (same math, pinned by tests/test_fused_step.py and
-        # tests/test_pallas_step.py):
+        # Physics backends (same math, pinned by tests/test_fused_step.py,
+        # tests/test_pallas_step.py and tests/test_pallas_mini.py):
         #   pallas — one Pallas megakernel per control step (fastest on TPU;
-        #            single-device only until the shard_map wrapper lands)
+        #            on a multi-device mesh wrapped in shard_map over the
+        #            env axis — sharded_pallas_step)
         #   fused  — stacked env-minor XLA path (~15-26x over reference
         #            layout; shards transparently under GSPMD)
         #   neither — reference [N, ...] layout (engine.step)

@@ -127,11 +127,25 @@ class Trainer:
         self.iter = int(payload["iter"])
 
     def _maybe_resume(self):
-        """Auto-resume for spot restarts (main.py:92-105)."""
+        """Auto-resume for spot restarts, else explicit resume_path.
+
+        Mirrors the reference's precedence (main.py:92-105): a checkpoint
+        already in the experiment dir wins (spot restart); otherwise a
+        configured ``resume_path`` — local, gs://, s3:// or file:// — is
+        fetched and loaded as the starting point.
+        """
         path = self._ckpt_dir()
         if os.path.isdir(path):
             self.load(path)
             print(f"Resumed from {path} at iter {self.iter}")
+            return
+        resume = self.cfg.get("resume_path")
+        if resume:
+            from add_gym_tpu.utils.remote import fetch_dir
+
+            local = fetch_dir(str(resume))
+            self.load(local)
+            print(f"Resuming from resume_path {resume} at iter {self.iter}")
 
     # ---------------------------------------------------------------- train
 

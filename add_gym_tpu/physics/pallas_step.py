@@ -213,7 +213,6 @@ def sharded_pallas_step(
     friction); per-env DR params ride inside ``state`` normally but with
     DR enabled use the XLA fused path instead.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     kp = jnp.asarray(params.kp)
@@ -227,9 +226,12 @@ def sharded_pallas_step(
         )
 
     state_spec = jax.tree_util.tree_map(lambda _: P(axis), state)
-    return shard_map(
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, and the kernel is purely per-shard (no collectives)
+    return jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(state_spec, P(axis)),
         out_specs=(state_spec, P(axis)),
+        check_vma=False,
     )(state, pd_target)

@@ -17,6 +17,12 @@ def _small_cfg(agent_group):
     cfg["agent"]["steps_per_iter"] = 4
     cfg["agent"]["update_epochs"] = 1
     cfg["agent"]["batch_size"] = 2
+    # small nets: mode semantics (param trees, losses, normalizers) are
+    # net-size independent; 64-unit MLPs compile ~10x faster on the 1-core
+    # CPU CI host (flagship 1024-wide nets are covered on-TPU by bench.py)
+    cfg["agent"]["actor_net"] = "fc_2layers_64units"
+    cfg["agent"]["critic_net"] = "fc_2layers_64units"
+    cfg["agent"]["disc_net"] = "fc_2layers_64units"
     return cfg
 
 

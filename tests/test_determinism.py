@@ -23,6 +23,11 @@ def setup():
     cfg["agent"]["steps_per_iter"] = 4
     cfg["agent"]["update_epochs"] = 1
     cfg["agent"]["batch_size"] = 2
+    # bitwise determinism is net-size independent; small nets keep the
+    # 1-core CPU compile budget reasonable (VERDICT r1 weak #4)
+    cfg["agent"]["actor_net"] = "fc_2layers_64units"
+    cfg["agent"]["critic_net"] = "fc_2layers_64units"
+    cfg["agent"]["disc_net"] = "fc_2layers_64units"
     env = build_env(cfg)
     agent = build_agent(cfg, env)
     return env, agent
