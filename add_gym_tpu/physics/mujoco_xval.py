@@ -48,6 +48,15 @@ def _prepared_xml(mjcf_path: str, ctrl_dt: float, substeps: int,
     """g1_29.xml + ground plane + the reference's solver options."""
     tree = ET.parse(mjcf_path)
     root = tree.getroot()
+    # the prepared copy lives in /tmp: point meshdir back at the assets
+    comp = root.find("compiler")
+    if comp is None:
+        comp = ET.SubElement(root, "compiler")
+    comp.set(
+        "meshdir",
+        os.path.join(os.path.dirname(os.path.abspath(mjcf_path)),
+                     comp.get("meshdir", ".")),
+    )
     opt = root.find("option")
     if opt is None:
         opt = ET.SubElement(root, "option")
