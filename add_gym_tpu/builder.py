@@ -123,16 +123,6 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
     # mass-style DR needs per-env params and takes the fused path.
     num_envs = int(engine_cfg.get("num_envs", 256))
     pallas_cfg = engine_cfg.get("pallas", "auto")
-    dr_enabled = bool((engine_cfg.get("domain_rand") or {}).get("enabled", False))
-    if pallas_cfg == "auto":
-        ndev = jax.device_count()
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and (num_envs // ndev) % 128 == 0
-            and (ndev == 1 or (mesh is not None and not dr_enabled))
-        )
-    else:
-        use_pallas = bool(pallas_cfg)
 
     dr_cfg = engine_cfg.get("domain_rand", {}) or {}
     dr = DRConfig(
@@ -143,7 +133,21 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
         action_latency_range=tuple(
             dr_cfg.get("action_latency_range", (0.0, 0.0))
         ),
+        mass_range=tuple(dr_cfg.get("mass_range", (1.0, 1.0))),
     )
+    # mass DR needs per-env inertia (fused-path data); the Pallas kernel
+    # bakes inertia as compile-time constants
+    mass_dr = dr.enabled and dr.mass_enabled
+    if pallas_cfg == "auto":
+        ndev = jax.device_count()
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and not mass_dr
+            and (num_envs // ndev) % 128 == 0
+            and (ndev == 1 or (mesh is not None and not dr.enabled))
+        )
+    else:
+        use_pallas = bool(pallas_cfg)
     return ImitationEnv(
         model, motion, params, task,
         fused=bool(engine_cfg.get("fused", True)),
@@ -190,6 +194,7 @@ def build_agent(cfg: Dict, env: ImitationEnv, key=None) -> ADDAgent:
         critic_net=a.get("critic_net", "fc_3layers_1024units"),
         disc_net=a.get("disc_net", "fc_2layers_1024units"),
         actor_init_output_scale=float(a.get("actor_init_output_scale", 0.01)),
+        mixed_precision=bool(a.get("mixed_precision", False)),
     )
     if key is None:
         key = jax.random.PRNGKey(int(cfg.get("seed", 0)))

@@ -14,6 +14,11 @@ Randomized quantities:
 - ``latency`` — first-order actuation delay: the applied PD target is
   ``(1-a)*cmd + a*prev`` with per-env smoothing factor a (uniform in range;
   0 = no delay)
+- ``mass_scale`` — whole-body mass/inertia multiplier, log-uniform (the
+  standard sim2real axis: same actuators, heavier/lighter robot).  Scales
+  spatial inertias, bias forces and contact springs in the fused step
+  (fused_step._substep_core ``ms``); requires ``engine.fused`` (the Pallas
+  kernel bakes inertia constants and refuses per-env mass).
 """
 
 from __future__ import annotations
@@ -31,6 +36,11 @@ class DRConfig:
     kv_scale_range: tuple = (0.8, 1.2)
     friction_range: tuple = (0.6, 1.4)
     action_latency_range: tuple = (0.0, 0.0)
+    mass_range: tuple = (1.0, 1.0)
+
+    @property
+    def mass_enabled(self) -> bool:
+        return tuple(self.mass_range) != (1.0, 1.0)
 
 
 def init_dr_state(num_envs: int):
@@ -38,13 +48,13 @@ def init_dr_state(num_envs: int):
     ones = jnp.ones(num_envs)
     return dict(
         kp_scale=ones, kv_scale=ones, friction_mu=ones,
-        latency=jnp.zeros(num_envs),
+        latency=jnp.zeros(num_envs), mass_scale=ones,
     )
 
 
 def sample_dr(key, cfg: DRConfig, num_envs: int):
     """Fresh per-env perturbations within the config ranges."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
 
     def logu(k, lo, hi):
         return jnp.exp(
@@ -62,4 +72,5 @@ def sample_dr(key, cfg: DRConfig, num_envs: int):
             minval=cfg.action_latency_range[0],
             maxval=cfg.action_latency_range[1],
         ),
+        mass_scale=logu(k5, *cfg.mass_range),
     )

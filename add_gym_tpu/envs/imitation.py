@@ -224,12 +224,17 @@ class ImitationEnv:
         if not self.dr.enabled:
             return self.params
         dr = state.dr
-        return replace(
+        p = replace(
             self.params,
             kp=self.params.kp[None, :] * dr["kp_scale"][:, None],
             kv=self.params.kv[None, :] * dr["kv_scale"][:, None],
             friction_mu=jnp.asarray(self.params.friction_mu) * dr["friction_mu"],
         )
+        if self.dr.mass_enabled:
+            p = replace(
+                p, mass_scale=jnp.asarray(p.mass_scale) * dr["mass_scale"]
+            )
+        return p
 
     def step(self, state: EnvState, pd_target):
         """Physics step + task update.  Ref flow: add_agent.py:204-219.

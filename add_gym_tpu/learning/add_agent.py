@@ -79,6 +79,12 @@ class AgentConfig:
     critic_net: str = "fc_3layers_1024units"
     disc_net: str = "fc_2layers_1024units"
     actor_init_output_scale: float = 0.01
+    # bf16 actor/critic trunk matmuls with f32 master weights and f32
+    # heads/losses.  Applied consistently in rollout, data build and update
+    # so the behavior policy and its recorded log-probs stay bitwise
+    # consistent (epoch-0 PPO ratio == 1).  The discriminator stays f32
+    # (second-order grad penalty).  Parity evidence: docs/TRAINING.md.
+    mixed_precision: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -156,6 +162,37 @@ class ADDAgent:
             sample_count=jnp.zeros((), jnp.int32),
         )
 
+    # ------------------------------------------------------- mixed precision
+
+    def _cast_ac(self, params):
+        """bf16 copies of the actor/critic trunk params (heads stay f32,
+        so means/values come back at full precision from cheap f32 head
+        matmuls on bf16 hidden activations)."""
+        p = dict(params["params"])
+        for k in ("actor_trunk", "critic_trunk"):
+            if k in p:
+                p[k] = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), p[k]
+                )
+        return {**params, "params": p}
+
+    def _ac_apply(self, params, norm_obs, method):
+        """Actor/critic forward at the configured precision.
+
+        Every call site (rollout action, data-build critic, update losses)
+        goes through here so mixed_precision quantizes ONE consistent
+        policy/value function — recorded rollout log-probs match the
+        update's epoch-0 recomputation exactly.
+        """
+        if self.cfg.mixed_precision:
+            params = self._cast_ac(params)
+            norm_obs = norm_obs.astype(jnp.bfloat16)
+        out = self.net.apply(params, norm_obs, method=method)
+        return jax.tree_util.tree_map(
+            lambda x: None if x is None else x.astype(jnp.float32), out,
+            is_leaf=lambda x: x is None,
+        )
+
     # --------------------------------------------------------------- acting
 
     def _exp_prob(self, sample_count):
@@ -172,7 +209,7 @@ class ADDAgent:
                        exp_prob=None):
         """Ref: ppo_agent.py:72-104 (rand-action-mask exploration)."""
         norm_obs = norm.normalize(obs_norm, obs)
-        mean, logstd = self.net.apply(params, norm_obs, method=ADDNet.actor)
+        mean, logstd = self._ac_apply(params, norm_obs, ADDNet.actor)
         if logstd is None:  # std_type == "fixed"
             logstd = jnp.full_like(mean, self.logstd)
         if train:
@@ -232,13 +269,23 @@ class ADDAgent:
 
     # ---------------------------------------------------------- train data
 
-    def _disc_reward(self, params, disc_norm, disc_obs, disc_demo):
-        """Ref: add_agent.py:135-139 + amp_agent.py:194-206."""
+    def _disc_inputs(self, disc_norm, disc_obs, disc_demo):
+        """Normalized discriminator inputs (negative, positive-or-None).
+
+        Computed ONCE per iteration — the normalizers are frozen during the
+        update (base_agent.py:362-366 updates them after), so minibatches
+        gather these precomputed tensors instead of re-normalizing 5x.
+        """
         if self.cfg.disc_mode == "amp":
-            disc_in = norm.normalize(disc_norm, disc_obs)
+            neg = norm.normalize(disc_norm, disc_obs)
+            pos = norm.normalize(disc_norm, disc_demo)
         else:
-            diff = disc_demo - disc_obs
-            disc_in = norm.diff_normalize(disc_norm, diff)
+            neg = norm.diff_normalize(disc_norm, disc_demo - disc_obs)
+            pos = None
+        return neg, pos
+
+    def _disc_reward_from_input(self, params, disc_in):
+        """Ref: add_agent.py:135-139 + amp_agent.py:194-206."""
         logits = self.net.apply(params, disc_in, method=ADDNet.disc)
         prob = jax.nn.sigmoid(logits)
         r = -jnp.log(jnp.maximum(1.0 - prob, 1e-4))
@@ -265,13 +312,15 @@ class ADDAgent:
                 (T, N) + demo.shape[1:]
             )
         task_r = traj["reward"]
+        disc_in = disc_pos = None
         if cfg.disc_mode == "none":
             disc_r = jnp.zeros_like(task_r)
             r = cfg.task_reward_weight * task_r
         else:
-            disc_r = self._disc_reward(
-                ts.params, ts.disc_norm, traj["disc_obs"], traj["disc_obs_demo"]
+            disc_in, disc_pos = self._disc_inputs(
+                ts.disc_norm, traj["disc_obs"], traj["disc_obs_demo"]
             )
+            disc_r = self._disc_reward_from_input(ts.params, disc_in)
             r = cfg.task_reward_weight * task_r + cfg.disc_reward_weight * disc_r
 
         # adaptive sampler error update (add_agent.py:117-122)
@@ -285,7 +334,7 @@ class ADDAgent:
 
         # critic targets
         norm_next = norm.normalize(ts.obs_norm, traj["next_obs"])
-        next_vals = self.net.apply(ts.params, norm_next, method=ADDNet.critic)
+        next_vals = self._ac_apply(ts.params, norm_next, ADDNet.critic)
         done = traj["done"]
         next_vals = jnp.where(done == int(DoneFlags.SUCC), 0.0, next_vals)
         next_vals = jnp.where(done == int(DoneFlags.FAIL), 0.0, next_vals)
@@ -293,7 +342,7 @@ class ADDAgent:
         ret = td_lambda_return(r, next_vals, done, cfg.discount, cfg.td_lambda)
 
         norm_obs = norm.normalize(ts.obs_norm, traj["obs"])
-        vals = self.net.apply(ts.params, norm_obs, method=ADDNet.critic)
+        vals = self._ac_apply(ts.params, norm_obs, ADDNet.critic)
         adv = ret - vals
 
         mask = traj["rand_mask"] == 1.0
@@ -308,6 +357,15 @@ class ADDAgent:
         data["reward"] = r
         data["tar_val"] = ret
         data["adv"] = norm_adv
+        # precomputed update inputs (normalizers are frozen during the
+        # update): minibatches gather these directly, skipping per-batch
+        # re-normalization and the gather of raw obs/next_obs/disc buffers
+        data["norm_obs"] = norm_obs
+        data["norm_a"] = (traj["action"] - self.a_mean) / self.a_std
+        if disc_in is not None:
+            data["disc_in"] = disc_in
+        if disc_pos is not None:
+            data["disc_pos"] = disc_pos
 
         info = dict(
             adv_mean=adv_mean, adv_std=adv_std,
@@ -318,17 +376,17 @@ class ADDAgent:
 
     # -------------------------------------------------------------- losses
 
-    def _loss(self, params, batch, obs_norm, disc_norm):
+    def _loss(self, params, batch):
         cfg = self.cfg
-        norm_obs = norm.normalize(obs_norm, batch["obs"])
-        norm_a = (batch["action"] - self.a_mean) / self.a_std
+        norm_obs = batch["norm_obs"]
+        norm_a = batch["norm_a"]
 
         # critic (ppo_agent.py:209-219)
-        pred = self.net.apply(params, norm_obs, method=ADDNet.critic)
+        pred = self._ac_apply(params, norm_obs, ADDNet.critic)
         critic_loss = jnp.mean(jnp.square(batch["tar_val"] - pred))
 
         # actor on rand-masked samples only (ppo_agent.py:221-275)
-        mean, logstd = self.net.apply(params, norm_obs, method=ADDNet.actor)
+        mean, logstd = self._ac_apply(params, norm_obs, ADDNet.actor)
         if logstd is None:  # std_type == "fixed"
             logstd = jnp.full_like(mean, self.logstd)
         a_logp = dist.log_prob(mean, logstd, norm_a)
@@ -373,14 +431,14 @@ class ADDAgent:
         )
 
         if cfg.disc_mode != "none":
-            disc_loss, disc_info = self._disc_loss(params, batch, disc_norm)
+            disc_loss, disc_info = self._disc_loss(params, batch)
             loss = loss + cfg.disc_loss_weight * disc_loss
             info.update(disc_info)
 
         info["loss"] = loss
         return loss, info
 
-    def _disc_loss(self, params, batch, disc_norm):
+    def _disc_loss(self, params, batch):
         """Discriminator loss.
 
         "add" (add_agent.py:141-202): positive = zero difference vector,
@@ -389,25 +447,26 @@ class ADDAgent:
         "amp" (amp_agent.py:98-175): positive = normalized demo obs,
         negative = normalized agent obs, grad penalty on the demo input.
         Both use BCE with 0.9/0.1 label smoothing (amp_agent.py:177-185).
+        Inputs arrive pre-normalized from build_train_data; the grad-penalty
+        forward is shared with the logit forward via jax.vjp.
         """
         cfg = self.cfg
 
-        def disc_sum(x):
-            return jnp.sum(self.net.apply(params, x, method=ADDNet.disc))
+        def disc_apply(x):
+            return self.net.apply(params, x, method=ADDNet.disc)
 
         if cfg.disc_mode == "amp":
-            pos_input = norm.normalize(disc_norm, batch["disc_obs_demo"])
-            neg_input = norm.normalize(disc_norm, batch["disc_obs"])
-            grad_in = jax.grad(disc_sum)(pos_input)
+            pos_input = batch["disc_pos"]
+            neg_input = batch["disc_in"]
+            pos_logit, vjp_fn = jax.vjp(disc_apply, pos_input)
+            grad_in = vjp_fn(jnp.ones_like(pos_logit))[0]
+            neg_logit = disc_apply(neg_input)
         else:
-            disc_dim = batch["disc_obs"].shape[-1]
-            pos_input = jnp.zeros((1, disc_dim))
-            diff = batch["disc_obs_demo"] - batch["disc_obs"]
-            neg_input = norm.diff_normalize(disc_norm, diff)
-            grad_in = jax.grad(disc_sum)(neg_input)
-
-        pos_logit = self.net.apply(params, pos_input, method=ADDNet.disc)
-        neg_logit = self.net.apply(params, neg_input, method=ADDNet.disc)
+            neg_input = batch["disc_in"]
+            pos_input = jnp.zeros((1, neg_input.shape[-1]))
+            neg_logit, vjp_fn = jax.vjp(disc_apply, neg_input)
+            grad_in = vjp_fn(jnp.ones_like(neg_logit))[0]
+            pos_logit = disc_apply(pos_input)
 
         disc_loss_pos = jnp.mean(
             optax.sigmoid_binary_cross_entropy(pos_logit, 0.9 * jnp.ones_like(pos_logit))
@@ -447,10 +506,17 @@ class ADDAgent:
         """Epoch/minibatch PPO+ADD updates.  Ref: ppo_agent.py:171-192."""
         cfg = self.cfg
         T, N = data["reward"].shape
+        # only the fields the losses consume ride into the minibatch
+        # gathers; norm_obs in bf16 under mixed precision halves the
+        # dominant gather traffic
+        keep = ("norm_obs", "norm_a", "a_logp", "tar_val", "adv",
+                "rand_mask", "disc_in", "disc_pos")
         flat = {
-            k: v.reshape((T * N,) + v.shape[2:])
-            for k, v in data.items()
+            k: data[k].reshape((T * N,) + data[k].shape[2:])
+            for k in keep if k in data
         }
+        if cfg.mixed_precision:
+            flat["norm_obs"] = flat["norm_obs"].astype(jnp.bfloat16)
         num_batches = int(np.ceil(T / cfg.batch_size))
         mb_size = (T * N) // num_batches
 
@@ -464,7 +530,7 @@ class ADDAgent:
                 batch = {k: v[mb_idx] for k, v in flat.items()}
                 (loss, info), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, batch, ts.obs_norm, ts.disc_norm)
+                )(params, batch)
                 updates, opt_state = self.optimizer.update(
                     grads, opt_state, params
                 )

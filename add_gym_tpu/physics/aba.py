@@ -48,6 +48,7 @@ def aba(
     implicit_damping,  # [N, nd] or [nd]: d added to denominator scaled by dt
     dt: float,
     gravity: float = 9.81,
+    ms=None,         # [N] per-env mass/inertia scale (None = 1)
 ):
     """Returns (qdd [N, nd], root_acc_true [N, 6] in root body coords)."""
     nb = model.nb
@@ -89,8 +90,12 @@ def aba(
 
     v[0] = root_vel_b
     c[0] = jnp.zeros((N, 6), f32)
-    IA[0] = jnp.broadcast_to(I_body[0], (N, 6, 6))
-    pA[0] = sp.crf(v[0], jnp.einsum("ij,nj->ni", I_body[0], v[0])) - f_ext[:, 0]
+    one = jnp.ones((N,), f32) if ms is None else jnp.broadcast_to(ms, (N,))
+    IA[0] = I_body[0] * one[:, None, None]
+    pA[0] = (
+        one[:, None] * sp.crf(v[0], jnp.einsum("ij,nj->ni", I_body[0], v[0]))
+        - f_ext[:, 0]
+    )
 
     S = [None] * nb
     for i in range(1, nb):
@@ -101,8 +106,12 @@ def aba(
         vJ = S[i] * dof_vel[:, di, None]
         v[i] = vp_child + vJ
         c[i] = sp.crm(v[i], vJ)
-        IA[i] = jnp.broadcast_to(I_body[i], (N, 6, 6))
-        pA[i] = sp.crf(v[i], jnp.einsum("ij,nj->ni", I_body[i], v[i])) - f_ext[:, i]
+        IA[i] = I_body[i] * one[:, None, None]
+        pA[i] = (
+            one[:, None]
+            * sp.crf(v[i], jnp.einsum("ij,nj->ni", I_body[i], v[i]))
+            - f_ext[:, i]
+        )
 
     # --- pass 2: inward articulated inertia recursion
     U = [None] * nb

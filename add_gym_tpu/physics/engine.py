@@ -69,6 +69,13 @@ class EngineParams:
     # friction is a data leaf (scalar or [N] per-env) so domain randomization
     # does not trigger recompiles
     friction_mu: jnp.ndarray | float = 1.0
+    # whole-body mass/inertia multiplier (scalar or [N] per-env).  Scales
+    # spatial inertias, velocity bias forces and contact forces; gravity
+    # (an acceleration) and motor-side constants (armature, joint damping,
+    # PD torque limits) correctly do NOT scale — a heavier robot under the
+    # same actuators is the sim2real axis.  Per-env values are supported by
+    # the fused XLA path only (the Pallas kernel bakes inertia constants).
+    mass_scale: jnp.ndarray | float = 1.0
     friction_vslip: float = field(metadata=dict(static=True), default=0.05)
     gravity: float = field(metadata=dict(static=True), default=9.81)
     # sphere-sphere self-collision on the model's curated pairs
@@ -298,6 +305,19 @@ def apply_pd_target(model: PhysicsModel, params: EngineParams, state: SimState, 
     return state.pd_target + delta
 
 
+def mass_scale_or_none(params: EngineParams, dtype=jnp.float32):
+    """Per-env mass scale [N] as data, or None when the (default) python
+    scalar 1.0 keeps the non-DR compile zero-cost."""
+    msv = params.mass_scale
+    if isinstance(msv, (int, float)):
+        if float(msv) == 1.0:
+            return None
+        msv = jnp.asarray(msv, dtype)
+    msv = jnp.asarray(msv, dtype)
+    # 0-d (e.g. a traced scalar when params are jit arguments) -> [1]
+    return msv[None] if msv.ndim == 0 else msv
+
+
 def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: float,
             sc_f_ext=None):
     """One physics substep: contacts -> PD torque -> ABA -> integrate.
@@ -314,6 +334,12 @@ def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: floa
         f_ext_w = f_ext_w + self_collision_forces(
             model, params, body_pos, body_rot, omega_w, v_origin_w, dt
         )
+    ms = mass_scale_or_none(params, state.root_pos.dtype)
+    if ms is not None:
+        # contact/self-collision springs are mass-proportional: penetration
+        # depth stays mass-invariant (fused_step._substep_core semantics)
+        f_ext_w = f_ext_w * ms[:, None, None]
+        contact = contact * ms[:, None]
 
     # PD torque (explicit part), ref mjwarp_engine.py:1554-1607
     q, qd = state.dof_pos, state.dof_vel
@@ -351,6 +377,7 @@ def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: floa
         implicit_d,
         dt,
         gravity=params.gravity,
+        ms=ms,
     )
 
     # --- semi-implicit Euler

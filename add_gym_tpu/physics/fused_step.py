@@ -380,6 +380,7 @@ def _substep_core(
     tgt,         # [nd, B]
     vectorized_contacts: bool = False,
     sc_ext=None,  # {body: (n [3,B], f [3,B])} held self-collision forces
+    ms=None,      # [B] per-env mass/inertia scale (None = 1, zero cost)
 ):
     """One physics substep on stacked env-minor arrays.
 
@@ -507,6 +508,11 @@ def _substep_core(
             contact_l[b] = contact_l[b] + fn
         f_w[b] = jnp.stack([fx_acc, fy_acc, fz_acc])     # [3, N]
         n_w[b] = jnp.stack([nx_acc, ny_acc, nz_acc])
+    if ms is not None:
+        # contact springs are mass-proportional (cp_mass-derived constants):
+        # a heavier robot presses and is caught proportionally harder, so
+        # penetration depths stay mass-invariant
+        contact_l = [c * ms for c in contact_l]
     contact = jnp.stack(contact_l)                       # [nb, N]
 
     # ---------------------------------------------- self-collision (held)
@@ -517,6 +523,11 @@ def _substep_core(
         for b, (n_c, f_c) in sc_ext.items():
             n_w[b] = n_w[b] + n_c
             f_w[b] = f_w[b] + f_c
+    if ms is not None:
+        # ground + self-collision penalty forces scale with body mass
+        # (same invariant-penetration argument as the contact spring)
+        n_w = [n * ms for n in n_w]
+        f_w = [f * ms for f in f_w]
 
     # ------------------------------------------------------- joint torques
     t_pd = jnp.clip(kp * (tgt - q) - kv * qd, -params.max_torque, params.max_torque)
@@ -555,9 +566,11 @@ def _substep_core(
             c_n[i] = vcross(w_b[i], wJ)
             c_f[i] = vcross(v_b[i], wJ)
 
-        A[i] = _lift_const_mat(fc.IA_A[i], one)
-        B[i] = _lift_const_mat(fc.IA_B[i], one)
-        D[i] = _lift_const_mat(fc.IA_D[i], one)
+        # per-env mass scale rides in the lift row: blocks become ms*I
+        lift = one if ms is None else ms
+        A[i] = _lift_const_mat(fc.IA_A[i], lift)
+        B[i] = _lift_const_mat(fc.IA_B[i], lift)
+        D[i] = _lift_const_mat(fc.IA_D[i], lift)
 
         # I v with constant blocks
         Iv_n = c_mul_m33_vec(fc.IA_A[i], w_b[i]) + c_mul_m33_vec(
@@ -566,6 +579,9 @@ def _substep_core(
         Iv_f = cT_mul_m33_vec(fc.IA_B[i], w_b[i]) + float(fc.mass[i]) * v_b[i]
         bias_n = vcross(w_b[i], Iv_n) + vcross(v_b[i], Iv_f)
         bias_f = vcross(w_b[i], Iv_f)
+        if ms is not None:
+            bias_n = bias_n * ms
+            bias_f = bias_f * ms
         ext_n = m33_T_vec(W[i], n_w[i])
         ext_f = m33_T_vec(W[i], f_w[i])
         pA_n[i] = bias_n - ext_n
@@ -686,6 +702,13 @@ def _prep_params(fc: FusedModelConstants, params: EngineParams, dtype=jnp.float3
     return kp, kv, mu
 
 
+def _prep_mass(params: EngineParams, dtype=jnp.float32):
+    """Per-env mass scale [N] for the substep core, or None when disabled."""
+    from add_gym_tpu.physics.engine import mass_scale_or_none
+
+    return mass_scale_or_none(params, dtype)
+
+
 def _dof_tables(fc: FusedModelConstants, dtype=jnp.float32):
     """Per-dof model tables in stacked layout [nd, 1]."""
     return (
@@ -702,6 +725,7 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
     Returns (state, body_contact [N, nb]).
     """
     kp, kv, mu = _prep_params(fc, params, state.root_pos.dtype)
+    ms = _prep_mass(params, state.root_pos.dtype)
     tables = _dof_tables(fc, state.root_pos.dtype)
     sc_ext = compute_sc_ext(fc, params, dt, state)
     rp, rq, rv, ra, q, qd, contact = _substep_core(
@@ -711,6 +735,7 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
         state.pd_target.T,
         vectorized_contacts=True,
         sc_ext=sc_ext,
+        ms=ms,
     )
     new_state = SimState(
         root_pos=rp.T,
@@ -800,6 +825,7 @@ def fused_step(fc: FusedModelConstants, params: EngineParams, state: SimState, p
     dt = params.ctrl_dt / params.substeps
 
     kp, kv, mu = _prep_params(fc, params, state.root_pos.dtype)
+    ms = _prep_mass(params, state.root_pos.dtype)
     tables = _dof_tables(fc, state.root_pos.dtype)
     sc_ext = compute_sc_ext(fc, params, dt, state)
 
@@ -810,6 +836,7 @@ def fused_step(fc: FusedModelConstants, params: EngineParams, state: SimState, p
             s.dof_pos.T, s.dof_vel.T, s.pd_target.T,
             vectorized_contacts=True,
             sc_ext=sc_ext,
+            ms=ms,
         )
         s2 = SimState(
             root_pos=rp.T, root_quat=rq.T, root_vel=rv.T, root_ang_vel=ra.T,

@@ -167,6 +167,10 @@ def pallas_step(
     N = state.root_pos.shape[0]
     block = pick_block(N, cap=block)
     nd = fc.model.nd
+    # the kernel bakes inertia constants; mass DR needs the fused XLA path
+    assert isinstance(params.mass_scale, (int, float)) and float(
+        params.mass_scale
+    ) == 1.0, "per-env mass_scale unsupported in the Pallas kernel (use engine.fused)"
     kp, kv, mu = _prep_params(fc, params)
     tables = _dof_tables(fc)
     # uniform [nd, N]/[1, N] blocks (broadcast host-side; tiny arrays)

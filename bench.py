@@ -28,7 +28,8 @@ def main():
     from add_gym_tpu.utils.config import load_config
     from add_gym_tpu.builder import build_env, build_agent
 
-    cfg = load_config("train")
+    overrides = os.environ.get("BENCH_OVERRIDES", "").split()
+    cfg = load_config("train", overrides)
     cfg["engine"]["num_envs"] = NUM_ENVS
     env = build_env(cfg)
     agent = build_agent(cfg, env)

@@ -117,3 +117,14 @@ def test_exp_prob_annealing():
     cfg["agent"]["exp_anneal_samples"] = float("inf")
     agent2 = build_agent(cfg, env)
     assert agent2._exp_prob(jnp.asarray(10**9)) == 1.0
+
+
+def test_mixed_precision_trains():
+    """bf16 trunk path (AgentConfig.mixed_precision) trains finite and
+    keeps the epoch-0 PPO ratio at 1 (consistent quantized policy)."""
+    cfg = _small_cfg("add_g1")
+    cfg["agent"]["mixed_precision"] = True
+    agent, ts, info = _one_iter(cfg)
+    assert agent.cfg.mixed_precision
+    assert np.isfinite(info["loss"])
+    assert abs(info["imp_ratio"] - 1.0) < 0.2
