@@ -134,6 +134,27 @@ def main(argv=None):
 
     video = cfg.get("video")
     if video:
+        if bool(cfg.get("mesh", True)):
+            # mesh-quality render (render/mesh.py); stick figure on failure
+            try:
+                from add_gym_tpu.render.mesh import (
+                    RobotMeshModel, render_frames, save_video,
+                )
+
+                mm = RobotMeshModel(
+                    asset_path(
+                        cfg.get("robot", {}).get(
+                            "asset_path", "g1_description/g1_29.xml"
+                        )
+                    ),
+                    list(char.body_names),
+                )
+                frames = render_frames(mm, body_pos, body_rot)
+                save_video(frames, video, fps=fps)
+                print(f"wrote {video} (mesh render)")
+                return
+            except Exception as e:
+                print(f"mesh render failed ({e}); stick-figure fallback")
         render_video(char, body_pos, video, fps=fps)
         print(f"wrote {video}")
 

@@ -635,6 +635,9 @@ class ADDAgent:
                 root_pos=env_state.sim.root_pos[0],
                 root_quat=env_state.sim.root_quat[0],
                 dof_pos=env_state.sim.dof_pos[0],
+                # reference-motion index/time for the ghost overlay render
+                motion_id=env_state.motion_ids[0],
+                motion_time=env.motion_times(env_state)[0],
             )
             return (env_state, obs, key), out
 

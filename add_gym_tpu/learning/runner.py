@@ -259,17 +259,46 @@ class Trainer:
             _jnp.asarray(states["root_quat"]),
             joint_rot,
         )
+        # ghost = the reference motion the agent is imitating, at the same
+        # times (the reference's non-colliding ghost entity, robot.py:48-57)
+        rp, rq, _, _, dp, _ = self.env.motion.get_motion_step(
+            _jnp.asarray(states["motion_id"]),
+            _jnp.asarray(states["motion_time"]),
+        )
+        ghost_pos, ghost_rot = char.forward_kinematics(
+            rp, rq, char.dof_to_rot(dp)
+        )
         np.savez_compressed(
             path + ".npz",
             body_pos=np.asarray(body_pos),
             body_rot=np.asarray(body_rot),
+            ghost_body_pos=np.asarray(ghost_pos),
+            ghost_body_rot=np.asarray(ghost_rot),
             body_names=np.asarray(char.body_names),
             parents=char.parent_indices,
         )
         try:
-            render_video(char, np.asarray(body_pos), path, fps=1.0 / self.env.ctrl_dt)
+            from add_gym_tpu.render.mesh import (
+                RobotMeshModel, render_frames, save_video,
+            )
+            from add_gym_tpu.utils.assets import asset_path
+
+            mm = RobotMeshModel(
+                asset_path("g1_description/g1_29.xml"), list(char.body_names)
+            )
+            frames = render_frames(
+                mm, np.asarray(body_pos), np.asarray(body_rot),
+                np.asarray(ghost_pos), np.asarray(ghost_rot),
+            )
+            save_video(frames, path, fps=1.0 / self.env.ctrl_dt)
         except Exception as e:  # rendering must never kill training
-            print(f"video render failed: {e}")
+            print(f"mesh render failed ({e}); falling back to stick figure")
+            try:
+                render_video(
+                    char, np.asarray(body_pos), path, fps=1.0 / self.env.ctrl_dt
+                )
+            except Exception as e2:
+                print(f"video render failed: {e2}")
 
     # ----------------------------------------------------------------- eval
 
