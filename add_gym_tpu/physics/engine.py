@@ -262,6 +262,82 @@ def self_collision_forces(
     return f_ext
 
 
+GROUND = -1  # link_b value for robot-vs-ground pairs
+
+
+def contact_pairs(model: PhysicsModel, params: EngineParams, state: SimState):
+    """Generic "who touched whom" query with static shapes.
+
+    TPU-native equivalent of the reference's contact surface
+    (base_engine.py:300-319: fixed-size ``{link_a, link_b, valid_mask}``
+    decoded from the warp arrays on CPU): the pair table is static — every
+    collidable body vs the ground plane, plus every curated self-collision
+    body pair — and validity/forces are per-env device arrays, so the query
+    jits and never leaves the device (SURVEY.md §3.3 flags the reference's
+    CPU decode as its biggest single-device bottleneck).
+
+    Returns a dict:
+      link_a   [Q] int32 (numpy, static) — body index
+      link_b   [Q] int32 (numpy, static) — body index or GROUND (-1)
+      force    [N, Q] float — contact normal-force magnitude
+      valid    [N, Q] bool  — force > 0
+    """
+    f32 = state.root_pos.dtype
+    body_pos, body_rot = forward_kinematics(model, state)
+    dt = params.ctrl_dt / params.substeps
+
+    # ground pairs: bodies owning contact points, in body order
+    ground_bodies = np.unique(np.asarray(model.cp_body))
+    _, per_body = contact_forces(model, params, body_pos, body_rot, state, dt)
+    ground_force = per_body[:, ground_bodies]                  # [N, G]
+
+    link_a = [ground_bodies.astype(np.int32)]
+    link_b = [np.full(len(ground_bodies), GROUND, np.int32)]
+    forces = [ground_force]
+
+    if model.sc_pairs.size and params.self_collision:
+        scb = model.sc_body
+        ia, ib = model.sc_pairs[:, 0], model.sc_pairs[:, 1]
+        # sphere pairs -> unique body-level pairs (static mapping)
+        bp = np.stack([scb[ia], scb[ib]], axis=1)
+        bp_sorted = np.sort(bp, axis=1)
+        uniq, inv = np.unique(bp_sorted, axis=0, return_inverse=True)
+
+        omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
+        Wb = body_rot[:, scb]
+        r_w = jnp.einsum("nsij,sj->nsi", Wb, jnp.asarray(model.sc_pos, f32))
+        x_w = body_pos[:, scb] + r_w
+        v_pt = v_origin_w[:, scb] + jnp.cross(omega_w[:, scb], r_w)
+        d = x_w[:, ia] - x_w[:, ib]
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        rsum = jnp.asarray(model.sc_radius[ia] + model.sc_radius[ib], f32)
+        pen = rsum - dist
+        active = (pen > 0.0).astype(f32)
+        omega_n = 2.0 / params.contact_timeconst
+        m = np.asarray(model.sc_stiff_mass, np.float64)
+        k = np.minimum(
+            m * omega_n * omega_n, 0.25 * m / (dt * dt)
+        ).astype(np.float32)
+        b = np.minimum(2.0 * m * omega_n, 0.5 * m / dt).astype(np.float32)
+        n = d / dist[..., None]
+        vn = jnp.sum((v_pt[:, ia] - v_pt[:, ib]) * n, axis=-1)
+        fmag = jnp.maximum(k * pen - b * vn, 0.0) * active     # [N, S]
+        # aggregate sphere-pair forces onto their body pair
+        N_env = fmag.shape[0]
+        agg = jnp.zeros((N_env, len(uniq)), f32).at[:, inv].add(fmag)
+        link_a.append(uniq[:, 0].astype(np.int32))
+        link_b.append(uniq[:, 1].astype(np.int32))
+        forces.append(agg)
+
+    force = jnp.concatenate(forces, axis=1)
+    return dict(
+        link_a=np.concatenate(link_a),
+        link_b=np.concatenate(link_b),
+        force=force,
+        valid=force > 0.0,
+    )
+
+
 def _body_world_velocities(model: PhysicsModel, state: SimState, body_rot):
     """Angular velocity and origin linear velocity of every body (world).
 

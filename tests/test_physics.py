@@ -168,3 +168,29 @@ def test_contact_flags_on_drop(model):
         s, contact = stp(s)
         seen |= np.asarray(contact[0]) > 0
     assert seen.sum() >= 3  # multiple bodies touched ground
+
+
+def test_contact_pairs_query(model):
+    """Generic who-touched-whom surface (ref base_engine.py:300-319)."""
+    from dataclasses import replace as dc_replace
+
+    from add_gym_tpu.physics.engine import GROUND, contact_pairs
+
+    kp, kv = reference_gains(model)
+    params = EngineParams(kp=kp, kv=kv)
+    s = standing_state(model, n=2, height_eps=-2e-3)  # slight penetration
+    # env 1 in the air: no ground contact there
+    s = dc_replace(s, root_pos=s.root_pos.at[1, 2].set(3.0))
+    out = jax.jit(lambda s: contact_pairs(model, params, s))(s)
+
+    Q = out["link_a"].shape[0]
+    assert out["force"].shape == (2, Q) and out["valid"].shape == (2, Q)
+    assert (out["link_b"] == GROUND).sum() > 0        # ground pairs exist
+    assert (out["link_b"] >= 0).sum() > 0             # self pairs exist
+
+    ground = out["link_b"] == GROUND
+    feet = [i for i, n in enumerate(model.body_names) if "ankle_roll" in n]
+    v0 = np.asarray(out["valid"][0])
+    touching = set(np.asarray(out["link_a"])[ground & v0])
+    assert set(feet) <= touching                      # standing on both feet
+    assert not np.asarray(out["valid"][1])[ground].any()  # airborne env clean
