@@ -16,6 +16,12 @@ import json
 import os
 import sys
 
+# persistent XLA compilation cache: repeat runs of the same config skip the
+# (minutes-long on shared TPU frontends) executable build
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp")
+)
+
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]

@@ -63,12 +63,19 @@ class Trainer:
         self.iter = 0
 
         seed = int(cfg.get("seed", 0))
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), jax.process_index())
+        # host RNG stream lives on the CPU backend: eager key ops through a
+        # remote-TPU tunnel cost ~100x and a per-iteration split would
+        # serialize the async dispatch pipeline
+        self._cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(self._cpu):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(seed), jax.process_index()
+            )
         self._key = key
 
         ts = self.agent.init_train_state()
         es = self.env.init_state(self.num_envs)
-        k0, self._key = jax.random.split(self._key)
+        k0 = self._next_key()
         es = self.env.reset_where(
             k0, es, jnp.ones(self.num_envs, bool), ts.sampler
         )
@@ -81,6 +88,11 @@ class Trainer:
         self.ts, self.es, self.obs = ts, es, obs
 
         self._maybe_resume()
+
+    def _next_key(self):
+        with jax.default_device(self._cpu):
+            k, self._key = jax.random.split(self._key)
+        return k
 
     # ------------------------------------------------------------ checkpoint
 
@@ -153,16 +165,26 @@ class Trainer:
         start = time.time()
         test_info = {}
         samples_per_iter = self.agent.cfg.steps_per_iter * self.num_envs
+        # metrics_every > 1 skips the per-iteration host transfer of the
+        # info dict: on a remote-TPU tunnel that round trip serializes the
+        # async dispatch pipeline (several times the iteration cost).
+        # Logging/NaN-detection then happen every Nth iteration.
+        metrics_every = max(1, int(self.cfg.get("metrics_every", 1)))
         # optional device profiling window (SURVEY.md §5.1: the reference has
         # no tracing; here jax.profiler captures iters [start, start+count))
         prof = self.cfg.get("profile", {}) or {}
         prof_start = int(prof.get("start_iter", 10)) if prof else -1
         prof_count = int(prof.get("num_iters", 3)) if prof else 0
 
-        while int(jax.device_get(self.ts.sample_count)) < self.max_samples:
+        # track sample count host-side (one sync at entry, none per iter)
+        samples = int(jax.device_get(self.ts.sample_count))
+        t_block = time.time()
+        last_metrics_iter = self.iter - 1
+        while samples < self.max_samples:
             if max_iters is not None and self.iter >= max_iters:
                 break
             output_iter = self.iter % self.iters_per_output == 0
+            metrics_iter = output_iter or self.iter % metrics_every == 0
 
             if output_iter and self.test_episodes > 0:
                 test_info = self.evaluate(self.test_episodes)
@@ -173,13 +195,25 @@ class Trainer:
                 )
 
             t_iter = time.time()
-            k, self._key = jax.random.split(self._key)
+            k = self._next_key()
             self.ts, self.es, self.obs, info = self.agent.train_iter(
                 self.ts, self.es, self.obs, k
             )
+            samples += samples_per_iter
 
+            if not metrics_iter:
+                self.iter += 1
+                continue
             metrics = {k2: float(v) for k2, v in jax.device_get(info).items()}
-            iter_s = time.time() - t_iter
+            # amortized per-iteration rate since the last metrics fetch (the
+            # async dispatch queue hides individual iteration boundaries)
+            span = max(self.iter - last_metrics_iter, 1)
+            last_metrics_iter = self.iter
+            iter_s = (
+                (time.time() - t_block) / span
+                if metrics_every > 1 else time.time() - t_iter
+            )
+            t_block = time.time()
 
             if prof_count and self.iter == prof_start + prof_count - 1:
                 jax.profiler.stop_trace()
@@ -230,7 +264,7 @@ class Trainer:
         from add_gym_tpu.kinematics.char_model import load_char_model
 
         steps = int(seconds / self.env.ctrl_dt)
-        k, self._key = jax.random.split(self._key)
+        k = self._next_key()
         self.es, self.obs, states = self.agent.eval_rollout_states(
             self.ts, self.es, self.obs, steps, k
         )
@@ -319,7 +353,7 @@ class Trainer:
         eps_per_env = np.zeros(self.num_envs, np.int64)
         steps = 0
         while steps < max_steps and not (eps_per_env >= min_eps).all():
-            k, self._key = jax.random.split(self._key)
+            k = self._next_key()
             es, obs, r, d = self.agent.eval_rollout(self.ts, es, obs, chunk, k)
             r = np.asarray(jax.device_get(r))
             d = np.asarray(jax.device_get(d))
