@@ -20,9 +20,12 @@ class TrainLogger:
         self._keys = None
         self._file = None
         self._tb = None
+        self._jsonl = None
         if self.is_main and log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._file = open(os.path.join(log_dir, "log.txt"), "a")
+            # machine-readable sink for curve plotting / analysis
+            self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
             if enable_tb:
                 try:
                     from torch.utils.tensorboard import SummaryWriter
@@ -51,6 +54,11 @@ class TrainLogger:
         if self._file:
             self._file.write(row + "\n")
             self._file.flush()
+        if self._jsonl:
+            import json
+
+            self._jsonl.write(json.dumps({"samples": step, **metrics}) + "\n")
+            self._jsonl.flush()
         if self._tb:
             for k, v in metrics.items():
                 self._tb.add_scalar(k, v, step)
