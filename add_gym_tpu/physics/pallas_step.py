@@ -167,10 +167,19 @@ def pallas_step(
     N = state.root_pos.shape[0]
     block = pick_block(N, cap=block)
     nd = fc.model.nd
-    # the kernel bakes inertia constants; mass DR needs the fused XLA path
-    assert isinstance(params.mass_scale, (int, float)) and float(
-        params.mass_scale
-    ) == 1.0, "per-env mass_scale unsupported in the Pallas kernel (use engine.fused)"
+    # the kernel bakes inertia constants; mass DR needs the fused XLA path.
+    # A concrete scalar is checked for 1.0; a 0-d tracer (params passed as a
+    # jit argument) is tolerated — the builder routes mass DR to the fused
+    # path before it can reach here — but per-env arrays are rejected.
+    msv = params.mass_scale
+    if isinstance(msv, (int, float)):
+        assert float(msv) == 1.0, (
+            "mass_scale != 1 unsupported in the Pallas kernel (use engine.fused)"
+        )
+    else:
+        assert jnp.ndim(msv) == 0, (
+            "per-env mass_scale unsupported in the Pallas kernel (use engine.fused)"
+        )
     kp, kv, mu = _prep_params(fc, params)
     tables = _dof_tables(fc)
     # uniform [nd, N]/[1, N] blocks (broadcast host-side; tiny arrays)

@@ -26,6 +26,16 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; pin the config directly so tests always run on the virtual
 # 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
+# compile time dominates these CPU tests (1 core); numerics are unaffected
+# by skipping XLA's expensive optimization passes
+jax.config.update("jax_disable_most_optimizations", True)
+# persistent compile cache: local reruns and CI (actions/cache on this dir)
+# skip recompilation entirely for unchanged test graphs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/jax_comp_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
 

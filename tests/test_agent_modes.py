@@ -66,6 +66,7 @@ def test_ppo_reward_is_task_reward():
     assert agent.cfg.task_reward_weight == 1.0
 
 
+@pytest.mark.slow
 def test_std_type_variants():
     """StdType constant/variable (distribution_gaussian_diag.py:6-9)."""
     for std_type in ("constant", "variable"):

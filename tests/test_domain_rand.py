@@ -130,6 +130,7 @@ class TestMassDR:
         m = np.asarray(es.dr["mass_scale"])
         assert m.std() > 0.05 and (m >= 0.5).all() and (m <= 2.0).all()
 
+    @pytest.mark.slow
     def test_heavier_robot_sags_more(self, menv):
         """Same PD gains, heavier body: gravity torque grows with mass but
         actuator torque does not, so held joints sag further."""
@@ -149,6 +150,7 @@ class TestMassDR:
         err = np.abs(np.asarray(s.dof_pos)) @ np.ones(model.nd)
         assert err[1] > 1.5 * err[0], err
 
+    @pytest.mark.slow
     def test_unit_mass_scale_matches_baseline(self, menv):
         """mass_scale == 1 (as data) reproduces the constant-path physics."""
         from dataclasses import replace as dc_replace
@@ -173,6 +175,7 @@ class TestMassDR:
         )
         np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_fused_matches_engine_with_mass_scale(self, menv):
         """Fused path and reference-layout path agree under per-env mass."""
         from dataclasses import replace as dc_replace

@@ -4,6 +4,12 @@ import glob
 import os
 import time
 
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
 import numpy as np
 import pytest
 
