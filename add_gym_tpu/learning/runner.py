@@ -201,6 +201,9 @@ class Trainer:
             )
             samples += samples_per_iter
 
+            if prof_count and self.iter == prof_start + prof_count - 1:
+                jax.profiler.stop_trace()
+
             if not metrics_iter:
                 self.iter += 1
                 continue
@@ -214,9 +217,6 @@ class Trainer:
                 if metrics_every > 1 else time.time() - t_iter
             )
             t_block = time.time()
-
-            if prof_count and self.iter == prof_start + prof_count - 1:
-                jax.profiler.stop_trace()
 
             # failure detection: a non-finite loss means the run is lost —
             # save a post-mortem checkpoint and stop loudly rather than
