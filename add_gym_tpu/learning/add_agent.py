@@ -385,7 +385,11 @@ class ADDAgent:
         pred = self._ac_apply(params, norm_obs, ADDNet.critic)
         critic_loss = jnp.mean(jnp.square(batch["tar_val"] - pred))
 
-        # actor on rand-masked samples only (ppo_agent.py:221-275)
+        # actor on rand-masked samples only (ppo_agent.py:221-275).
+        # NOTE (measured, round 2): evaluating actor+critic trunks as one
+        # stacked [2,B,i]x[2,i,o] einsum is 13% SLOWER end-to-end than two
+        # separate MLP passes on v5e (474K vs 533K env-steps/s) — XLA/MXU
+        # prefer the two large dots. Keep them separate.
         mean, logstd = self._ac_apply(params, norm_obs, ADDNet.actor)
         if logstd is None:  # std_type == "fixed"
             logstd = jnp.full_like(mean, self.logstd)
