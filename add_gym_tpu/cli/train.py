@@ -40,7 +40,28 @@ def main(argv=None):
     cfg = load_config(config_name, overrides)
     mode = cfg.get("mode", "train")
 
+    # Debug / sanitizer analog (SURVEY.md §5.2 — the reference has only
+    # operational workarounds; JAX's functional purity removes most of that
+    # class, and these flags cover the rest):
+    #   debug.nans=true          — jax_debug_nans: every jitted op checks
+    #                              for NaNs and re-runs un-jitted to point
+    #                              at the producing primitive
+    #   debug.parity_check=true  — step the fused TPU path and the readable
+    #                              reference-layout engine side by side at
+    #                              startup and assert they agree before any
+    #                              training happens
+    dbg = cfg.get("debug", {}) or {}
+    import jax
+
+    if dbg.get("nans"):
+        jax.config.update("jax_debug_nans", True)
+
     trainer = Trainer(cfg)
+
+    if dbg.get("parity_check"):
+        from add_gym_tpu.utils.debug import parity_check
+
+        parity_check(trainer.env)
 
     # persist the composed config for reproducibility (ref main.py:62-66,
     # pickled there; JSON here for inspectability)

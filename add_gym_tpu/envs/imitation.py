@@ -108,6 +108,7 @@ class ImitationEnv:
         char=None,
     ):
         self.model = model
+        self.mesh = mesh   # device mesh (None on a single device)
         self._char = char  # kinematic CharModel (viewer / video rendering)
         self.motion = motion
         self.params = engine_params

@@ -506,27 +506,22 @@ class ADDAgent:
 
     # --------------------------------------------------------------- update
 
-    def update_model(self, ts: TrainState, data, key):
-        """Epoch/minibatch PPO+ADD updates.  Ref: ppo_agent.py:171-192."""
+    def _epoch_scan(self, params, opt_state, flat, key, num_batches,
+                    axis=None):
+        """Epoch/minibatch scan over a flat [M, ...] buffer.
+
+        ``axis`` set = this runs per-device inside shard_map: the buffer is
+        the device's LOCAL shard, and gradients/metrics are averaged across
+        devices per minibatch (the reference's DDP all-reduce,
+        mp_optimizer.py backward semantics).
+        """
         cfg = self.cfg
-        T, N = data["reward"].shape
-        # only the fields the losses consume ride into the minibatch
-        # gathers; norm_obs in bf16 under mixed precision halves the
-        # dominant gather traffic
-        keep = ("norm_obs", "norm_a", "a_logp", "tar_val", "adv",
-                "rand_mask", "disc_in", "disc_pos")
-        flat = {
-            k: data[k].reshape((T * N,) + data[k].shape[2:])
-            for k in keep if k in data
-        }
-        if cfg.mixed_precision:
-            flat["norm_obs"] = flat["norm_obs"].astype(jnp.bfloat16)
-        num_batches = int(np.ceil(T / cfg.batch_size))
-        mb_size = (T * N) // num_batches
+        M = flat["a_logp"].shape[0]
+        mb_size = M // num_batches
 
         def epoch_fn(carry, key_e):
             params, opt_state = carry
-            perm = jax.random.permutation(key_e, T * N)
+            perm = jax.random.permutation(key_e, M)
             idx = perm[: num_batches * mb_size].reshape(num_batches, mb_size)
 
             def mb_fn(carry, mb_idx):
@@ -535,6 +530,9 @@ class ADDAgent:
                 (loss, info), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, batch)
+                if axis is not None:
+                    grads = jax.lax.pmean(grads, axis)
+                    info = jax.lax.pmean(info, axis)
                 updates, opt_state = self.optimizer.update(
                     grads, opt_state, params
                 )
@@ -545,9 +543,62 @@ class ADDAgent:
             return (params, opt_state), infos
 
         keys = jax.random.split(key, cfg.update_epochs)
-        (params, opt_state), infos = jax.lax.scan(
-            epoch_fn, (ts.params, ts.opt_state), keys
-        )
+        return jax.lax.scan(epoch_fn, (params, opt_state), keys)
+
+    def update_model(self, ts: TrainState, data, key):
+        """Epoch/minibatch PPO+ADD updates.  Ref: ppo_agent.py:171-192.
+
+        Multi-device (``env.mesh`` set): explicit DDP semantics via
+        shard_map — each device permutes and minibatches its LOCAL env
+        shard and gradients pmean per minibatch.  Leaving this to GSPMD
+        inference instead materializes an all-gather of the whole rollout
+        buffer and replicates the entire 5-epoch update on every device
+        (verified in compiled HLO — tests/test_scaling_audit.py), which
+        would not scale at all.
+        """
+        cfg = self.cfg
+        T, N = data["reward"].shape
+        # only the fields the losses consume ride into the minibatch
+        # gathers; norm_obs in bf16 under mixed precision halves the
+        # dominant gather traffic
+        keep = ("norm_obs", "norm_a", "a_logp", "tar_val", "adv",
+                "rand_mask", "disc_in", "disc_pos")
+        cols = {k: data[k] for k in keep if k in data}
+        if cfg.mixed_precision:
+            cols["norm_obs"] = cols["norm_obs"].astype(jnp.bfloat16)
+        num_batches = int(np.ceil(T / cfg.batch_size))
+        mesh = getattr(self.env, "mesh", None)
+
+        if mesh is None:
+            flat = {
+                k: v.reshape((T * N,) + v.shape[2:]) for k, v in cols.items()
+            }
+            (params, opt_state), infos = self._epoch_scan(
+                ts.params, ts.opt_state, flat, key, num_batches
+            )
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def local_update(params, opt_state, cols, key):
+                Tl, Nl = cols["a_logp"].shape
+                flat = {
+                    k: v.reshape((Tl * Nl,) + v.shape[2:])
+                    for k, v in cols.items()
+                }
+                # per-device shuffle stream (the reference's per-rank
+                # ExperienceBuffer permutation)
+                key = jax.random.fold_in(key, jax.lax.axis_index("env"))
+                return self._epoch_scan(
+                    params, opt_state, flat, key, num_batches, axis="env"
+                )
+
+            (params, opt_state), infos = jax.shard_map(
+                local_update,
+                mesh=mesh,
+                in_specs=(P(), P(), P(None, "env"), P()),
+                out_specs=((P(), P()), P()),
+                check_vma=False,
+            )(ts.params, ts.opt_state, cols, key)
         mean_info = jax.tree_util.tree_map(jnp.mean, infos)
         return replace(ts, params=params, opt_state=opt_state), mean_info
 

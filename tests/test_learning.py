@@ -136,3 +136,17 @@ def test_train_iter_smoke():
     assert float(ts.obs_norm.count) > 0
     # sampler errors changed for visited segments
     assert not np.allclose(np.asarray(ts.sampler.errors), 1.0)
+
+
+def test_parity_check_mode():
+    """debug.parity_check startup sanity (SURVEY §5.2 analog)."""
+    from add_gym_tpu.utils.config import load_config
+    from add_gym_tpu.builder import build_env
+    from add_gym_tpu.utils.debug import parity_check
+
+    cfg = load_config("train")
+    cfg["engine"]["num_envs"] = 4
+    cfg["engine"]["fused"] = True
+    cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
+    env = build_env(cfg)
+    parity_check(env)  # raises on divergence
