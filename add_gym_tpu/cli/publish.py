@@ -19,6 +19,16 @@ import json
 import os
 
 MODEL_CARD = """\
+---
+license: mit
+library_name: jax
+tags:
+  - reinforcement-learning
+  - locomotion
+  - robotics
+  - g1
+---
+
 # {name}
 
 A Unitree G1 (29-DOF) humanoid motion-imitation policy trained with
@@ -139,6 +149,38 @@ def export(checkpoint: str, out_dir: str, config_path: str | None, name: str):
     print(f"exported {checkpoint} -> {out_dir}")
 
 
+def push_to_hf(out_dir: str, repo_id: str, private: bool = False) -> str:
+    """Upload the exported artifact to the Hugging Face Hub.
+
+    Mirrors the reference's push contract (push_to_hf.py:170-196): create
+    the repo if missing (idempotent re-push), upload the whole artifact
+    folder — strip-optimizer + model card already happened in :func:`export`.
+    Requires ``HF_TOKEN`` (or a cached login) with write access.
+    """
+    import json as _json
+
+    from huggingface_hub import HfApi
+
+    api = HfApi()
+    api.create_repo(
+        repo_id=repo_id, repo_type="model", private=private, exist_ok=True
+    )
+    meta_path = os.path.join(out_dir, "metadata.json")
+    it = "?"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            it = _json.load(f).get("iter", "?")
+    api.upload_folder(
+        repo_id=repo_id,
+        folder_path=out_dir,
+        repo_type="model",
+        commit_message=f"Update checkpoint (iter {it})",
+    )
+    url = f"https://huggingface.co/{repo_id}"
+    print(f"pushed {out_dir} -> {url}")
+    return url
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("checkpoint", help="orbax checkpoint directory (Trainer.save)")
@@ -147,15 +189,23 @@ def main(argv=None):
     ap.add_argument("--name", default="add-gym-tpu-g1")
     ap.add_argument(
         "--push", default=None, metavar="URI",
-        help="also upload the artifact (gs:// | s3:// | file://) — the "
-             "upload analog of the reference's HF push (push_to_hf.py:28-80)",
+        help="also upload the artifact: hf://org/repo (Hugging Face Hub, "
+             "the reference's push_to_hf.py contract) or gs:// | s3:// | "
+             "file:// bucket upload",
+    )
+    ap.add_argument(
+        "--private", action="store_true",
+        help="create the HF repo as private (first creation only)",
     )
     args = ap.parse_args(argv)
     export(args.checkpoint, args.out_dir, args.config, args.name)
     if args.push:
-        from add_gym_tpu.utils.remote import push_dir
+        if args.push.startswith("hf://"):
+            push_to_hf(args.out_dir, args.push[len("hf://"):], args.private)
+        else:
+            from add_gym_tpu.utils.remote import push_dir
 
-        push_dir(args.out_dir, args.push)
+            push_dir(args.out_dir, args.push)
 
 
 if __name__ == "__main__":

@@ -298,6 +298,199 @@ class ImitationEnv:
         state = replace(state, done=done)
         return state, obs, disc_obs, disc_obs_demo, reward, done
 
+    def rollout_step(self, key, state: EnvState, pd_target, sampler_state):
+        """Fused train-rollout step: step + reset_where + both obs passes.
+
+        Semantically identical to ``step`` -> ``reset_where`` ->
+        ``compute_obs`` with the same key (pinned bitwise by
+        tests/test_env.py::test_rollout_step_matches_plain_path), but
+        op-count-optimized for the scan hot path:
+
+        * the six motion-table lookups per step (ref frame, tar obs, disc
+          demo window, reset pose, reset history prefill, post-reset tar
+          obs) collapse into TWO fused gathers — the demo window's last
+          entry IS the reference frame, and the reset-side lookups share
+          one call;
+        * the two full observation passes (pre-reset ``next_obs`` for the
+          critic bootstrap + post-reset ``obs`` for the next action,
+          ref add_agent.py:204-233) evaluate as ONE stacked [2N] pass.
+
+        Returns ``(state3, obs_after, out)`` where ``out`` carries the
+        per-step rollout record (next_obs, disc obs, reward, done, ...).
+        """
+        task = self.task
+        N = state.time.shape[0]
+        H = task.num_disc_obs_steps
+        K = len(self.tar_steps) if task.enable_tar_obs else 0
+        dt = self.ctrl_dt
+
+        # --- physics (identical to step) -------------------------------
+        if self.dr.enabled and self.dr.action_latency_range[1] > 0:
+            a = state.dr["latency"][:, None]
+            pd_target = (1.0 - a) * pd_target + a * state.sim.pd_target
+        sim, body_contact = self._step_fn(
+            self._effective_params(state), state.sim, pd_target
+        )
+        time = state.time + dt
+        state2 = self._push_history(replace(state, sim=sim, time=time))
+        mt = time + state.motion_offsets
+        ids = state.motion_ids
+
+        # --- fused gather A: disc window (last entry = ref frame) + tar
+        win_offs = -dt * jnp.arange(H - 1, -1, -1, dtype=mt.dtype)
+        if K:
+            offs = jnp.concatenate(
+                [win_offs, dt * jnp.asarray(self.tar_steps, mt.dtype)]
+            )
+        else:
+            offs = win_offs
+        timesA = mt[:, None] + offs[None, :]
+        idsA = jnp.broadcast_to(ids[:, None], timesA.shape)
+        rowsA = self.motion.get_motion_step(idsA, timesA)
+        win = tuple(x[:, :H] for x in rowsA)
+        ref = tuple(x[:, H - 1] for x in rowsA)
+
+        disc_obs = self._disc_obs_from_hist(state2)
+        disc_obs_demo = obs_mod.compute_disc_obs(
+            *win, enable_vel_obs=task.enable_vel_obs, global_obs=task.global_obs,
+        )
+
+        reward = compute_reward(
+            sim.root_pos, sim.root_quat, sim.root_vel, sim.root_ang_vel,
+            sim.dof_pos, sim.dof_vel,
+            ref[0], ref[1], ref[2], ref[3], ref[4], ref[5],
+            jnp.ones((self.model.nd,), sim.dof_pos.dtype),
+            track_root_h=task.root_height_obs,
+            track_root=task.track_root,
+            pose_w=task.reward_pose_w,
+            vel_w=task.reward_vel_w,
+            root_pose_w=task.reward_root_pose_w,
+            root_vel_w=task.reward_root_vel_w,
+            pose_scale=task.reward_pose_scale,
+            vel_scale=task.reward_vel_scale,
+            root_pose_scale=task.reward_root_pose_scale,
+            root_vel_scale=task.reward_root_vel_scale,
+        )
+
+        from add_gym_tpu.motion.motion_file import LoopMode
+
+        meta = self.motion.meta_all[ids]                  # [N, 7]
+        done = compute_done(
+            time, sim.root_pos, sim.dof_pos, ref[0], ref[4], body_contact,
+            mt, meta[:, 0], meta[:, 1] == 0.0,
+            ep_len=task.max_episode_length,
+            noncontact_body_mask=self.noncontact_mask,
+            pose_termination=task.pose_termination,
+            pose_termination_dist=task.pose_termination_dist,
+            enable_early_termination=task.enable_early_termination,
+            track_root=task.track_root,
+        )
+        state2 = replace(state2, done=done)
+
+        out = dict(
+            reward=reward, done=done, disc_obs=disc_obs,
+            disc_obs_demo=disc_obs_demo, motion_ids=ids, motion_times=mt,
+            ep_time=time,
+        )
+
+        # --- reset sampling (RNG stream identical to reset_where) ------
+        reset = done != int(DoneFlags.NULL)
+        k1, k2, k_dr = jax.random.split(key, 3)
+        ids_f = self.motion.sample_motions(k1, N)
+        times_f = self._sample_times(k2, ids_f, sampler_state)
+        dr = (
+            sample_dr(k_dr, self.dr, N) if self.dr.enabled
+            else init_dr_state(N)
+        )
+
+        ids3 = jnp.where(reset, ids_f, ids)
+        mt3 = jnp.where(reset, times_f, mt)
+
+        # --- fused gather B: fresh window [N, H] + merged tar [N, K] ---
+        if K:
+            idsBC = jnp.concatenate(
+                [
+                    jnp.broadcast_to(ids_f[:, None], (N, H)),
+                    jnp.broadcast_to(ids3[:, None], (N, K)),
+                ],
+                axis=1,
+            )
+            timesBC = jnp.concatenate(
+                [
+                    times_f[:, None] + win_offs[None, :],
+                    mt3[:, None] + dt * jnp.asarray(self.tar_steps, mt.dtype)[None, :],
+                ],
+                axis=1,
+            )
+        else:
+            idsBC = jnp.broadcast_to(ids_f[:, None], (N, H))
+            timesBC = times_f[:, None] + win_offs[None, :]
+        rowsB = self.motion.get_motion_step(idsBC, timesBC)
+        hist_f = tuple(x[:, :H] for x in rowsB)
+
+        tgt_lo = jnp.asarray(self.model.dof_limit[:, 0], sim.dof_pos.dtype)
+        tgt_hi = jnp.asarray(self.model.dof_limit[:, 1], sim.dof_pos.dtype)
+        dp_f = jnp.clip(hist_f[4][:, -1], tgt_lo, tgt_hi)
+        fresh = EnvState(
+            sim=SimState(
+                root_pos=hist_f[0][:, -1],
+                root_quat=hist_f[1][:, -1],
+                root_vel=hist_f[2][:, -1],
+                root_ang_vel=hist_f[3][:, -1],
+                dof_pos=dp_f,
+                dof_vel=hist_f[5][:, -1],
+                pd_target=dp_f,
+            ),
+            time=jnp.zeros(N),
+            motion_ids=ids_f,
+            motion_offsets=times_f,
+            done=jnp.zeros(N, jnp.int32),
+            hist_root_pos=hist_f[0],
+            hist_root_rot=hist_f[1],
+            hist_root_vel=hist_f[2],
+            hist_root_ang_vel=hist_f[3],
+            hist_dof_pos=hist_f[4],
+            hist_dof_vel=hist_f[5],
+            dr=dr,
+        )
+        pick = lambda new, old: jnp.where(
+            reset.reshape((N,) + (1,) * (new.ndim - 1)), new, old
+        )
+        state3 = jax.tree_util.tree_map(pick, fresh, state2)
+
+        # --- stacked obs pass [N, 2, ...]: next_obs (state2) + obs (state3).
+        # Stacking on axis 1 (not 0) keeps the leading env axis intact so
+        # GSPMD sharding needs no resharding collective.
+        stk = lambda a, b: jnp.stack([a, b], axis=1)
+        sim3 = state3.sim
+        if task.enable_phase_obs:
+            phase = self.motion.calc_motion_phase(stk(ids, ids3), stk(mt, mt3))
+        else:
+            phase = jnp.zeros((N, 2), mt.dtype)
+        if K:
+            tar_rp = stk(rowsA[0][:, H:], rowsB[0][:, H:])
+            tar_rr = stk(rowsA[1][:, H:], rowsB[1][:, H:])
+            tar_dp = stk(rowsA[4][:, H:], rowsB[4][:, H:])
+        else:
+            tar_rp = tar_rr = tar_dp = jnp.zeros((N, 2, 0, 0))
+        obs2x = obs_mod.compute_add_obs(
+            stk(sim.root_pos, sim3.root_pos),
+            stk(sim.root_quat, sim3.root_quat),
+            stk(sim.root_vel, sim3.root_vel),
+            stk(sim.root_ang_vel, sim3.root_ang_vel),
+            stk(sim.dof_pos, sim3.dof_pos),
+            stk(sim.dof_vel, sim3.dof_vel),
+            phase, tar_rp, tar_rr, tar_dp,
+            enable_vel_obs=task.enable_vel_obs,
+            global_obs=task.global_obs,
+            root_height_obs=task.root_height_obs,
+            enable_phase_obs=task.enable_phase_obs,
+            num_phase_encoding=task.num_phase_encoding,
+            enable_tar_obs=task.enable_tar_obs,
+        )
+        out["next_obs"] = obs2x[:, 0]
+        return state3, obs2x[:, 1], out
+
     def _push_history(self, state: EnvState) -> EnvState:
         sim = state.sim
         push = lambda buf, x: jnp.concatenate([buf[:, 1:], x[:, None]], axis=1)

@@ -129,6 +129,9 @@ class ADDAgent:
             opt = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
         else:
             opt = optax.adamw(cfg.learning_rate, weight_decay=0.0)
+        # NOTE (measured, round 3): optax.flatten-ing this chain costs ~8 ms
+        # per update on v5e (the per-minibatch ravel/unravel materializes
+        # the 5.5M-param vector twice); per-leaf fusions are faster.
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip), opt
         )
@@ -244,21 +247,14 @@ class ADDAgent:
             action, _, a_logp, rand_mask = self._decide_action(
                 ts.params, ts.obs_norm, k_act, obs, train, exp_prob
             )
-            (env_state2, next_obs, disc_obs, disc_demo, reward, done) = env.step(
-                env_state, action
+            # fused step + masked reset + stacked obs pass (bitwise equal to
+            # step -> reset_where -> compute_obs; see ImitationEnv.rollout_step)
+            env_state3, obs_after, step_out = env.rollout_step(
+                k_reset, env_state, action, ts.sampler
             )
-            motion_ids = env_state2.motion_ids
-            motion_times = env_state2.time + env_state2.motion_offsets
-
-            reset_mask = done != int(DoneFlags.NULL)
-            env_state3 = env.reset_where(k_reset, env_state2, reset_mask, ts.sampler)
-            obs_after = env.compute_obs(env_state3)
-
             out = dict(
-                obs=obs, next_obs=next_obs, action=action, a_logp=a_logp,
-                rand_mask=rand_mask, reward=reward, done=done,
-                disc_obs=disc_obs, disc_obs_demo=disc_demo,
-                motion_ids=motion_ids, motion_times=motion_times,
+                obs=obs, action=action, a_logp=a_logp, rand_mask=rand_mask,
+                **step_out,
             )
             return (env_state3, obs_after, key), out
 
@@ -332,17 +328,19 @@ class ADDAgent:
             diff_sq.reshape(-1),
         )
 
-        # critic targets
+        # critic targets.  NOTE (measured, round 3): stacking (obs,
+        # next_obs) into one [T, N, 2, d] critic pass costs ~4 ms over two
+        # separate passes on v5e — the stack materializes a 314 MB copy
+        # that the two fused normalize->matmul passes never form.
+        norm_obs = norm.normalize(ts.obs_norm, traj["obs"])
         norm_next = norm.normalize(ts.obs_norm, traj["next_obs"])
+        vals = self._ac_apply(ts.params, norm_obs, ADDNet.critic)
         next_vals = self._ac_apply(ts.params, norm_next, ADDNet.critic)
         done = traj["done"]
         next_vals = jnp.where(done == int(DoneFlags.SUCC), 0.0, next_vals)
         next_vals = jnp.where(done == int(DoneFlags.FAIL), 0.0, next_vals)
 
         ret = td_lambda_return(r, next_vals, done, cfg.discount, cfg.td_lambda)
-
-        norm_obs = norm.normalize(ts.obs_norm, traj["obs"])
-        vals = self._ac_apply(ts.params, norm_obs, ADDNet.critic)
         adv = ret - vals
 
         mask = traj["rand_mask"] == 1.0
@@ -522,6 +520,11 @@ class ADDAgent:
         def epoch_fn(carry, key_e):
             params, opt_state = carry
             perm = jax.random.permutation(key_e, M)
+            # NOTE (measured, round 3): pre-gathering the whole shuffled
+            # buffer per epoch (scan over leading axis) is ~4 ms/update
+            # SLOWER than per-minibatch row gathers — the materialized
+            # shuffle costs an extra HBM round trip, while the row gather
+            # feeds its consumers directly.
             idx = perm[: num_batches * mb_size].reshape(num_batches, mb_size)
 
             def mb_fn(carry, mb_idx):
@@ -643,10 +646,15 @@ class ADDAgent:
         info = dict(data_info)
         info.update(train_info)
         info["mean_reward"] = jnp.mean(data["reward"])
-        info["mean_ep_len"] = 1.0 / jnp.maximum(
-            jnp.mean((traj["done"] != 0).astype(jnp.float32)), 1e-6
-        )
-        info["done_frac"] = jnp.mean((traj["done"] != 0).astype(jnp.float32))
+        # true mean episode length over episodes that finished this window
+        # (the reference's ReturnTracker semantics, base_agent.py:564-621):
+        # at each done, env_state.time is exactly the episode's length
+        done_mask = (traj["done"] != 0).astype(jnp.float32)
+        n_done = jnp.sum(done_mask)
+        info["mean_ep_len"] = jnp.sum(
+            traj["ep_time"] / self.env.ctrl_dt * done_mask
+        ) / jnp.maximum(n_done, 1.0)
+        info["done_frac"] = jnp.mean(done_mask)
         info["fail_frac"] = jnp.mean(
             (traj["done"] == int(DoneFlags.FAIL)).astype(jnp.float32)
         )

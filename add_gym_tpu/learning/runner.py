@@ -66,7 +66,12 @@ class Trainer:
         # host RNG stream lives on the CPU backend: eager key ops through a
         # remote-TPU tunnel cost ~100x and a per-iteration split would
         # serialize the async dispatch pipeline
-        self._cpu = jax.local_devices(backend="cpu")[0]
+        try:
+            self._cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            # no CPU backend (e.g. JAX_PLATFORMS=tpu): key ops fall back to
+            # the default device — slower through a remote tunnel, not fatal
+            self._cpu = jax.devices()[0]
         with jax.default_device(self._cpu):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(seed), jax.process_index()

@@ -51,6 +51,13 @@ class MotionLib:
     step_root_ang_vel: jnp.ndarray  # [S, 3]
     step_dof_pos: jnp.ndarray       # [S, D]
     step_dof_vel: jnp.ndarray       # [S, D]
+    # fused lookup tables: the rollout gathers ~20 (id, time) rows per env
+    # per step across several call sites; serving all six step fields from
+    # ONE [S, 13+2D] row gather (and the per-motion metadata from one
+    # [M, 7] gather) collapses ~11 gather ops per lookup into 3 — the
+    # rollout is op-count-bound, not bandwidth-bound
+    step_all: jnp.ndarray           # [S, 13+2D] = [rp rr rv rav dp dv]
+    meta_all: jnp.ndarray           # [M, 7] = [len wrap max_frame start dx dy dz]
 
     def get_num_motions(self) -> int:
         return self.num_motions
@@ -70,29 +77,34 @@ class MotionLib:
         WRAP clips loop: time wraps modulo the clip length and the root
         position accumulates the per-loop displacement
         (ref: motion_lib.py:133-150 ``_calc_loop_offset``).
+
+        ``motion_ids``/``motion_times`` may have any (matching) shape; the
+        returned fields carry that shape plus the field's trailing dims.
+        Three gathers total: metadata [M, 7], step rows [S, 13+2D], slice.
         """
-        length = self.lengths[motion_ids]
-        wrap = self.loop_modes[motion_ids] == int(LoopMode.WRAP)
+        meta = self.meta_all[motion_ids]                  # [..., 7]
+        length, wrap_f = meta[..., 0], meta[..., 1]
+        max_frame = meta[..., 2]
+        wrap = wrap_f != 0.0
         loops = jnp.floor(jnp.maximum(motion_times, 0.0) / length)
         t = jnp.where(wrap, motion_times - loops * length, motion_times)
 
-        frame = jnp.floor(t * self.dt_inv).astype(jnp.int32)
-        max_frame = self.num_steps[motion_ids] - 1
-        frame = jnp.clip(frame, 0, max_frame)
-        idx = frame + self.start_idx[motion_ids]
+        frame = jnp.floor(t * self.dt_inv)
+        frame = jnp.clip(frame, 0.0, max_frame)
+        idx = (frame + meta[..., 3]).astype(jnp.int32)
 
         offset = jnp.where(
-            wrap[..., None],
-            loops[..., None] * self.root_pos_delta[motion_ids],
-            0.0,
+            wrap[..., None], loops[..., None] * meta[..., 4:7], 0.0
         )
+        row = self.step_all[idx]                          # [..., 13+2D]
+        D = (row.shape[-1] - 13) // 2
         return (
-            self.step_root_pos[idx] + offset,
-            self.step_root_rot[idx],
-            self.step_root_vel[idx],
-            self.step_root_ang_vel[idx],
-            self.step_dof_pos[idx],
-            self.step_dof_vel[idx],
+            row[..., 0:3] + offset,
+            row[..., 3:7],
+            row[..., 7:10],
+            row[..., 10:13],
+            row[..., 13:13 + D],
+            row[..., 13 + D:13 + 2 * D],
         )
 
     def calc_motion_phase(self, motion_ids, times):
@@ -244,6 +256,22 @@ def _load_on_host(files, weights, col_map, char, dt) -> MotionLib:
     num_steps_arr = np.asarray(num_steps, np.int32)
     start_idx = np.concatenate([[0], np.cumsum(num_steps_arr)[:-1]]).astype(np.int32)
 
+    step_all = jnp.concatenate(
+        [jnp.concatenate(tables[k]) for k in ("rp", "rr", "rv", "rav", "dp", "dv")],
+        axis=-1,
+    )
+    meta_all = jnp.asarray(
+        np.column_stack(
+            [
+                np.asarray(lengths, np.float32),
+                (np.asarray(loop_modes) == int(LoopMode.WRAP)).astype(np.float32),
+                (num_steps_arr - 1).astype(np.float32),
+                start_idx.astype(np.float32),
+                np.stack(root_pos_delta),
+            ]
+        )
+    )
+
     return MotionLib(
         dt=dt,
         dt_inv=round(1.0 / dt),
@@ -260,4 +288,6 @@ def _load_on_host(files, weights, col_map, char, dt) -> MotionLib:
         step_root_ang_vel=jnp.concatenate(tables["rav"]),
         step_dof_pos=jnp.concatenate(tables["dp"]),
         step_dof_vel=jnp.concatenate(tables["dv"]),
+        step_all=step_all,
+        meta_all=meta_all,
     )

@@ -42,16 +42,40 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
-def initialize_distributed():
-    """Multi-host bootstrap (jax.distributed) — no-op on a single host.
+def initialize_distributed() -> bool:
+    """Multi-host bootstrap: call ``jax.distributed.initialize()``.
 
     The reference's equivalent is torchrun c10d rendezvous + NCCL init
-    (sagemaker-entrypoint.sh:103-140).  On TPU pods JAX picks up the
-    coordinator from the environment automatically.
+    (sagemaker-entrypoint.sh:103-140) — it ALWAYS rendezvous.  Likewise
+    here: on Cloud TPU pod VMs no coordinator env vars are pre-set; JAX
+    autodetects the coordinator from the TPU metadata, but only if
+    ``initialize()`` is actually called.  So we always attempt it and only
+    swallow the failure on boxes that are recognizably NOT a pod slice
+    (local dev / CI), where single-process is the correct outcome.
+
+    Explicit coordinator env vars (``JAX_COORDINATOR_ADDRESS`` — also used
+    by the CPU-simulation integration test) and Megascale multi-slice env
+    feed straight into the same call.  Set ``ADD_GYM_NO_DISTRIBUTED=1`` to
+    opt out entirely.  Returns True iff jax.distributed was initialized.
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
+    if os.environ.get("ADD_GYM_NO_DISTRIBUTED"):
+        return False
+    try:
         jax.distributed.initialize()
+        return True
+    except Exception as e:
+        # Loud failure if the environment says "pod" but bootstrap failed:
+        # continuing would silently train N independent single-host runs.
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if len([h for h in hostnames.split(",") if h]) > 1:
+            raise RuntimeError(
+                "multi-host TPU slice detected (TPU_WORKER_HOSTNAMES="
+                f"{hostnames!r}) but jax.distributed.initialize() failed"
+            ) from e
+        if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"
+        ):
+            raise
+        return False

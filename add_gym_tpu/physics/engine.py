@@ -330,6 +330,12 @@ def contact_pairs(model: PhysicsModel, params: EngineParams, state: SimState):
         forces.append(agg)
 
     force = jnp.concatenate(forces, axis=1)
+    # report the forces the dynamics actually applied: under mass DR the
+    # substep scales contact forces by mass_scale (mass-proportional
+    # springs keep penetration depth mass-invariant)
+    ms = mass_scale_or_none(params, f32)
+    if ms is not None:
+        force = force * ms[:, None]
     return dict(
         link_a=np.concatenate(link_a),
         link_b=np.concatenate(link_b),
@@ -409,6 +415,16 @@ def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: floa
         omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
         f_ext_w = f_ext_w + self_collision_forces(
             model, params, body_pos, body_rot, omega_w, v_origin_w, dt
+        )
+    if model.capsules is not None and model.capsules.num_pairs:
+        # optional capsule-capsule narrowphase (physics/narrowphase.py):
+        # static pair table, same spring-damper family as above
+        from add_gym_tpu.physics.narrowphase import capsule_f_ext
+
+        omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
+        f_ext_w = f_ext_w + capsule_f_ext(
+            model.capsules, body_pos, body_rot, omega_w, v_origin_w, dt,
+            params.contact_timeconst, model.nb,
         )
     ms = mass_scale_or_none(params, state.root_pos.dtype)
     if ms is not None:

@@ -75,6 +75,10 @@ class PhysicsModel:
     body_names: list
     joint_names: list  # [nd] MJCF joint names (hinges, BFS order)
 
+    # optional capsule-capsule narrowphase pair table (physics/narrowphase
+    # .py) — empty by default; per-task opt-in via attach_capsules()
+    capsules: object = None
+
     @property
     def nb(self) -> int:
         return len(self.body_names)
@@ -180,6 +184,25 @@ def _geom_contact_points(geom, meshdir):
         return pts
 
     raise ValueError(f"Unsupported geom type: {gtype}")
+
+
+def attach_capsules(model: PhysicsModel, mjcf_path: str,
+                    exclude_adjacent: bool = True) -> PhysicsModel:
+    """Opt a model into capsule-capsule narrowphase contacts.
+
+    Parses the MJCF's capsule/cylinder collision geoms into a static pair
+    table (physics/narrowphase.py) evaluated by the reference-layout
+    engine path.  Returns a new model; the default model keeps
+    ``capsules=None`` so G1 hot paths are untouched.
+    """
+    import dataclasses
+
+    from add_gym_tpu.physics.narrowphase import parse_capsules
+
+    caps = parse_capsules(
+        mjcf_path, model.body_names, model.mass, exclude_adjacent
+    )
+    return dataclasses.replace(model, capsules=caps)
 
 
 def build_physics_model(mjcf_path: str, char: CharModel | None = None) -> PhysicsModel:

@@ -124,15 +124,15 @@ class RobotMeshModel:
                     tris = cache[mesh_name]
                     if tris is None:
                         continue
-                    pos = np.fromstring(
-                        g.attrib.get("pos", "0 0 0"), sep=" ", dtype=np.float32
+                    pos = np.array(
+                        g.attrib.get("pos", "0 0 0").split(), dtype=np.float32
                     )
-                    quat = np.fromstring(
-                        g.attrib.get("quat", "1 0 0 0"), sep=" ",
+                    quat = np.array(
+                        g.attrib.get("quat", "1 0 0 0").split(),
                         dtype=np.float32,
                     )
-                    rgba = np.fromstring(
-                        g.attrib.get("rgba", "0.55 0.55 0.6 1"), sep=" ",
+                    rgba = np.array(
+                        g.attrib.get("rgba", "0.55 0.55 0.6 1").split(),
                         dtype=np.float32,
                     )
                     R = _quat_to_mat(quat)

@@ -150,3 +150,63 @@ def test_allowed_contact_bodies_do_not_fail(env):
         assert not env.noncontact_mask[env.model.body_names.index(name)]
     assert env.noncontact_mask[env.model.body_names.index("pelvis")]
     assert env.noncontact_mask[env.model.body_names.index("torso_link")]
+
+
+def test_rollout_step_matches_plain_path(env, sampler):
+    """The fused rollout_step (combined motion gathers + stacked [N,2] obs
+    pass) is semantically identical to step -> reset_where -> compute_obs
+    with the same key -- the hot-path optimization must not change a bit of
+    the trajectory distribution."""
+    k_init, k_act, k_reset = jax.random.split(jax.random.PRNGKey(7), 3)
+    es = env.init_state(4)
+    es = env.reset_where(k_init, es, jnp.ones(4, bool), sampler)
+    action = jax.random.uniform(
+        k_act, (4, env.num_dofs),
+        minval=jnp.asarray(env.action_low, jnp.float32),
+        maxval=jnp.asarray(env.action_high, jnp.float32),
+    )
+    # force a mix of reset/no-reset by running a few steps first
+    for i in range(3):
+        es, *_ = env.step(es, action)
+
+    # plain path (jitted, like the fused one: this is compiled-vs-compiled
+    # semantic parity; XLA may reassociate f32 ops differently per graph)
+    def plain(k, es, action, sampler_state):
+        es2, next_obs, disc_obs, disc_demo, reward, done = env.step(es, action)
+        reset_mask = es2.done != int(DoneFlags.NULL)
+        es3 = env.reset_where(k, es2, reset_mask, sampler_state)
+        return es2, es3, env.compute_obs(es3), (
+            next_obs, disc_obs, disc_demo, reward, done
+        )
+
+    es2, es3, obs_after, (next_obs, disc_obs, disc_demo, reward, done) = (
+        jax.jit(plain)(k_reset, es, action, sampler)
+    )
+
+    # fused path from the same pre-step state and key
+    es3_f, obs_after_f, out = jax.jit(env.rollout_step)(
+        k_reset, es, action, sampler
+    )
+
+    np.testing.assert_array_equal(np.asarray(out["done"]), np.asarray(done))
+    np.testing.assert_allclose(
+        np.asarray(out["reward"]), np.asarray(reward), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["next_obs"]), np.asarray(next_obs), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["disc_obs"]), np.asarray(disc_obs), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["disc_obs_demo"]), np.asarray(disc_demo), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(obs_after_f), np.asarray(obs_after), atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(es3_f), jax.tree_util.tree_leaves(es3)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["motion_times"]),
+        np.asarray(es2.time + es2.motion_offsets), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["ep_time"]), np.asarray(es2.time), atol=1e-6)

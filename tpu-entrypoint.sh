@@ -26,25 +26,31 @@ PY
 
 LOG_DIR=${LOG_DIR:-logs}
 if [[ -n "${CKPT_GCS_URI:-}" ]]; then
-  GSUTIL=$(command -v gsutil || command -v gcloud || true)
-  if [[ -n "$GSUTIL" ]]; then
-    echo "checkpoint channel: $CKPT_GCS_URI <-> $LOG_DIR"
-    mkdir -p "$LOG_DIR"
-    # pull any previous run state (spot resume)
-    gsutil -m rsync -r "$CKPT_GCS_URI" "$LOG_DIR" 2>/dev/null || true
-    if [[ "${TPU_WORKER_ID:-0}" == "0" ]]; then
-      (
-        while true; do
-          sleep "${CKPT_SYNC_SECS:-300}"
-          gsutil -m rsync -r "$LOG_DIR" "$CKPT_GCS_URI" || true
-        done
-      ) &
-      SYNC_PID=$!
-      # final sync when training exits, then stop the loop
-      trap 'kill "$SYNC_PID" 2>/dev/null || true; gsutil -m rsync -r "$LOG_DIR" "$CKPT_GCS_URI" || true' EXIT
-    fi
+  # sync via whichever tool exists (gsutil, else gcloud storage); fail
+  # loudly if neither does — a silently dead channel breaks spot resume
+  if command -v gsutil >/dev/null 2>&1; then
+    bucket_rsync() { gsutil -m rsync -r "$1" "$2"; }
+  elif command -v gcloud >/dev/null 2>&1; then
+    bucket_rsync() { gcloud storage rsync --recursive "$1" "$2"; }
   else
-    echo "warning: CKPT_GCS_URI set but no gsutil/gcloud on PATH" >&2
+    echo "error: CKPT_GCS_URI set but neither gsutil nor gcloud on PATH" >&2
+    exit 1
+  fi
+  echo "checkpoint channel: $CKPT_GCS_URI <-> $LOG_DIR"
+  mkdir -p "$LOG_DIR"
+  # pull any previous run state (spot resume); an empty/missing prefix on a
+  # first run is expected (|| true) but stderr stays visible
+  bucket_rsync "$CKPT_GCS_URI" "$LOG_DIR" || true
+  if [[ "${TPU_WORKER_ID:-0}" == "0" ]]; then
+    (
+      while true; do
+        sleep "${CKPT_SYNC_SECS:-300}"
+        bucket_rsync "$LOG_DIR" "$CKPT_GCS_URI" || true
+      done
+    ) &
+    SYNC_PID=$!
+    # final sync when training exits, then stop the loop
+    trap 'kill "$SYNC_PID" 2>/dev/null || true; bucket_rsync "$LOG_DIR" "$CKPT_GCS_URI" || true' EXIT
   fi
 fi
 
