@@ -71,7 +71,7 @@ class Trainer:
         except RuntimeError:
             # no CPU backend (e.g. JAX_PLATFORMS=tpu): key ops fall back to
             # the default device — slower through a remote tunnel, not fatal
-            self._cpu = jax.devices()[0]
+            self._cpu = jax.local_devices()[0]
         with jax.default_device(self._cpu):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(seed), jax.process_index()
@@ -105,13 +105,15 @@ class Trainer:
         return os.path.abspath(os.path.join(self.exp_dir, "checkpoint"))
 
     def save(self, path=None, numbered: bool = False):
-        """Save {train_state, iter}.  Rank-0 only (base_agent.py:548-561).
+        """Save {train_state, iter} — the reference's rank-0 torch.save
+        (base_agent.py:548-561) in orbax form: ALL processes call save
+        (orbax runs a cross-process barrier internally, so a rank-gated
+        call deadlocks a pod — caught by tests/test_distributed.py) and
+        orbax writes files from the primary host only.
 
         ``numbered`` also writes an immutable snapshot under
         ``intermediate_outputs/`` (reference: model_%010d.pt).
         """
-        if jax.process_index() != 0:
-            return
         import orbax.checkpoint as ocp
 
         path = path or self._ckpt_dir()

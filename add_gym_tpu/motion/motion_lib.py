@@ -195,10 +195,16 @@ def load_motion_lib(
 
     # Precompute on host CPU: eager small ops through a TPU tunnel are far
     # slower than the copy of the final tables to device afterwards.
-    cpu = jax.devices("cpu")[0]
+    # local_devices, NOT jax.devices(): under multi-process jax.distributed
+    # the global list can lead with another process's (non-addressable)
+    # device, and computing onto it deadlocks/fails (tests/test_distributed).
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = jax.local_devices()[0]
     with jax.default_device(cpu):
         lib = _load_on_host(files, weights, col_map, char, dt)
-    return jax.device_put(lib, jax.devices()[0])
+    return jax.device_put(lib, jax.local_devices()[0])
 
 
 def _load_on_host(files, weights, col_map, char, dt) -> MotionLib:

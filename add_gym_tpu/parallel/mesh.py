@@ -31,15 +31,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _spans_other_processes(mesh: Mesh) -> bool:
+    pi = jax.process_index()
+    return any(d.process_index != pi for d in mesh.devices.flat)
+
+
+def put_with_sharding(x, s: NamedSharding):
+    """device_put that also works on meshes spanning other processes.
+
+    Multi-process (pod) meshes include non-addressable devices, which
+    plain ``jax.device_put`` rejects; build the global array from this
+    process's local shards instead (each process contributes the slices
+    its devices own, taken from its full-size local value).
+    """
+    if not _spans_other_processes(s.mesh):
+        return jax.device_put(x, s)
+    xh = np.asarray(x)
+    return jax.make_array_from_callback(
+        xh.shape, s, lambda idx: np.asarray(xh[idx])
+    )
+
+
 def shard_env_tree(mesh: Mesh, tree, axis: str = "env"):
     """Place every leaf with sharded leading env axis."""
     s = env_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree_util.tree_map(lambda x: put_with_sharding(x, s), tree)
 
 
 def replicate_tree(mesh: Mesh, tree):
     s = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree_util.tree_map(lambda x: put_with_sharding(x, s), tree)
 
 
 def initialize_distributed() -> bool:
