@@ -426,6 +426,16 @@ def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: floa
             model.capsules, body_pos, body_rot, omega_w, v_origin_w, dt,
             params.contact_timeconst, model.nb,
         )
+    if model.geoms is not None and model.geoms.num_pairs:
+        # optional GENERAL geom-geom narrowphase (sphere/capsule/box pair
+        # tables, physics/narrowphase.py GeomSet)
+        from add_gym_tpu.physics.narrowphase import geom_f_ext
+
+        omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
+        f_ext_w = f_ext_w + geom_f_ext(
+            model.geoms, body_pos, body_rot, omega_w, v_origin_w, dt,
+            params.contact_timeconst, model.nb,
+        )
     ms = mass_scale_or_none(params, state.root_pos.dtype)
     if ms is not None:
         # contact/self-collision springs are mass-proportional: penetration

@@ -78,6 +78,10 @@ class PhysicsModel:
     # optional capsule-capsule narrowphase pair table (physics/narrowphase
     # .py) — empty by default; per-task opt-in via attach_capsules()
     capsules: object = None
+    # optional GENERAL geom-geom narrowphase tables (sphere/capsule/
+    # cylinder/box; physics/narrowphase.py GeomSet) — per-task opt-in via
+    # attach_geoms(); supersedes ``capsules`` (don't attach both)
+    geoms: object = None
 
     @property
     def nb(self) -> int:
@@ -203,6 +207,25 @@ def attach_capsules(model: PhysicsModel, mjcf_path: str,
         mjcf_path, model.body_names, model.mass, exclude_adjacent
     )
     return dataclasses.replace(model, capsules=caps)
+
+
+def attach_geoms(model: PhysicsModel, mjcf_path: str,
+                 exclude_adjacent: bool = True) -> PhysicsModel:
+    """Opt a model into GENERAL geom-geom narrowphase contacts.
+
+    Parses ALL primitive collision geoms (sphere/capsule/cylinder/box)
+    into static pair tables (physics/narrowphase.py GeomSet) evaluated by
+    the reference-layout engine path.  Returns a new model; the default
+    model keeps ``geoms=None`` so G1 hot paths are untouched.
+    """
+    import dataclasses
+
+    from add_gym_tpu.physics.narrowphase import parse_geoms
+
+    gs = parse_geoms(
+        mjcf_path, model.body_names, model.mass, exclude_adjacent
+    )
+    return dataclasses.replace(model, geoms=gs)
 
 
 def build_physics_model(mjcf_path: str, char: CharModel | None = None) -> PhysicsModel:

@@ -1,4 +1,4 @@
-"""Capsule-capsule narrowphase: geometry, force law, and G1 opt-in."""
+"""Narrowphase collision: geometry queries, force law, and G1 opt-in."""
 
 import numpy as np
 import jax
@@ -6,8 +6,9 @@ import jax.numpy as jnp
 import pytest
 
 from add_gym_tpu.physics.narrowphase import (
-    CapsuleSet, capsule_f_ext, capsule_pair_forces, parse_capsules,
-    segment_closest_points,
+    CapsuleSet, GeomSet, box_surface_point, capsule_f_ext,
+    capsule_pair_forces, geom_f_ext, parse_capsules, parse_geoms,
+    segment_box_closest, segment_closest_points,
 )
 
 
@@ -102,6 +103,192 @@ def test_capsule_f_ext_newton_third_law():
         dt=0.0025, contact_timeconst=0.02,
     )
     assert float(fmag_closing[0, 0]) > float(fmag_static[0, 0])
+
+
+# ---------------------------------------------------------------- GeomSet
+
+
+def test_box_surface_point_outside_inside():
+    h = jnp.asarray([1.0, 2.0, 0.5])
+    # outside: closest face point and positive distance
+    q, n, sd = box_surface_point(jnp.asarray([3.0, 0.0, 0.0]), h)
+    np.testing.assert_allclose(np.asarray(q), [1.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n), [1.0, 0.0, 0.0], atol=1e-6)
+    assert abs(float(sd) - 2.0) < 1e-5
+    # outside a corner
+    q, n, sd = box_surface_point(jnp.asarray([2.0, 3.0, 1.5]), h)
+    np.testing.assert_allclose(np.asarray(q), [1.0, 2.0, 0.5], atol=1e-6)
+    assert abs(float(sd) - np.sqrt(3.0)) < 1e-5
+    # inside: push-out through the nearest face (here z, distance 0.1)
+    q, n, sd = box_surface_point(jnp.asarray([0.2, -0.3, 0.4]), h)
+    np.testing.assert_allclose(np.asarray(n), [0.0, 0.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(q), [0.2, -0.3, 0.5], atol=1e-6)
+    assert abs(float(sd) + 0.1) < 1e-5
+
+
+def test_segment_box_closest_matches_brute_force():
+    rng = np.random.RandomState(3)
+    h = np.array([0.5, 0.4, 0.3])
+    for _ in range(20):
+        a, b = rng.randn(3) * 1.5, rng.randn(3) * 1.5
+        p, q, n, sd = segment_box_closest(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(h)
+        )
+        # brute force: sample the segment, clamp each point to the box
+        t = np.linspace(0, 1, 2000)[:, None]
+        pts = a[None] + t * (b - a)[None]
+        cl = np.clip(pts, -h, h)
+        ref = np.linalg.norm(pts - cl, axis=-1).min()
+        got = float(sd)
+        if ref > 1e-6:  # both endpoints outside and segment misses the box
+            assert abs(got - ref) < 2e-2, (got, ref)
+            assert got >= ref - 1e-4  # never below the true minimum
+
+
+def _two_box_set():
+    """Two unit-ish boxes on two bodies, plus a sphere segment on body 0."""
+    return GeomSet(
+        seg_body=np.array([0], np.int32),
+        seg_p0=np.array([[0.0, 0.0, 0.3]], np.float32),
+        seg_p1=np.array([[0.0, 0.0, 0.3]], np.float32),
+        seg_radius=np.array([0.1], np.float32),
+        box_body=np.array([0, 1], np.int32),
+        box_pos=np.zeros((2, 3), np.float32),
+        box_rot=np.broadcast_to(np.eye(3, dtype=np.float32), (2, 3, 3)).copy(),
+        # B wider than A so penetrating vertices land strictly inside faces
+        # (identical aligned boxes put vertices exactly ON the faces — a
+        # measure-zero configuration the vertex model correctly reports as
+        # zero-penetration)
+        box_half=np.array([[0.2, 0.2, 0.2], [0.3, 0.3, 0.2]], np.float32),
+        ss_pairs=np.zeros((0, 2), np.int32), ss_mass=np.zeros((0,), np.float32),
+        sb_pairs=np.array([[0, 1]], np.int32), sb_mass=np.array([1.0], np.float32),
+        bb_pairs=np.array([[0, 1]], np.int32), bb_mass=np.array([1.0], np.float32),
+    )
+
+
+def test_geom_f_ext_box_contacts():
+    gs = _two_box_set()
+    # body 1 hovers above body 0 with its box overlapping A's box (z_sep
+    # 0.35 < 0.4 = sum of half-heights) and A's sphere (at z 0.3, r 0.1)
+    # penetrating B's box bottom face (z 0.15)
+    body_pos, body_rot, zeros, _ = _fk(0.35)
+    f_ext = geom_f_ext(
+        gs, body_pos, body_rot, zeros, zeros, dt=0.0025,
+        contact_timeconst=0.02, nb=2,
+    )
+    f_ext = np.asarray(f_ext)
+    # Newton's third law across all contact kinds
+    np.testing.assert_allclose(f_ext[0, :, 3:6].sum(axis=0), 0.0, atol=1e-3)
+    # boxes + sphere push body 1 up, body 0 down
+    assert f_ext[0, 1, 5] > 0.0
+    assert f_ext[0, 0, 5] < 0.0
+
+    # fully separated: zero forces
+    body_pos, body_rot, zeros, _ = _fk(1.0)
+    f_ext2 = np.asarray(geom_f_ext(
+        gs, body_pos, body_rot, zeros, zeros, dt=0.0025,
+        contact_timeconst=0.02, nb=2,
+    ))
+    np.testing.assert_allclose(f_ext2, 0.0, atol=1e-7)
+
+
+def test_geom_f_ext_jits_and_grads():
+    # sphere (body 0, at origin, r 0.1) under a box (body 1, bottom face at
+    # z - 0.2): shallow-contact regime where the push direction is
+    # unambiguous, so force is smooth and monotone in separation
+    gs = GeomSet(
+        seg_body=np.array([0], np.int32),
+        seg_p0=np.zeros((1, 3), np.float32),
+        seg_p1=np.zeros((1, 3), np.float32),
+        seg_radius=np.array([0.1], np.float32),
+        box_body=np.array([1], np.int32),
+        box_pos=np.zeros((1, 3), np.float32),
+        box_rot=np.eye(3, dtype=np.float32)[None].copy(),
+        box_half=np.array([[0.3, 0.3, 0.2]], np.float32),
+        ss_pairs=np.zeros((0, 2), np.int32), ss_mass=np.zeros((0,), np.float32),
+        sb_pairs=np.array([[0, 0]], np.int32), sb_mass=np.array([1.0], np.float32),
+        bb_pairs=np.zeros((0, 2), np.int32), bb_mass=np.zeros((0,), np.float32),
+    )
+
+    @jax.jit
+    def up_force_on_box(z):
+        body_pos = jnp.stack([
+            jnp.zeros((1, 3)),
+            jnp.concatenate([jnp.zeros((1, 2)), z[None, None]], -1)[0][None],
+        ], axis=1)
+        body_rot = jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3))
+        zeros = jnp.zeros((1, 2, 3))
+        f = geom_f_ext(gs, body_pos, body_rot, zeros, zeros,
+                       dt=0.0025, contact_timeconst=0.02, nb=2)
+        return f[0, 1, 5]
+
+    f_close = float(up_force_on_box(jnp.asarray(0.25)))   # pen 0.05
+    f_far = float(up_force_on_box(jnp.asarray(0.28)))     # pen 0.02
+    assert f_close > f_far > 0.0
+    assert float(up_force_on_box(jnp.asarray(0.35))) == 0.0  # separated
+    # differentiable: raising the box reduces the upward force
+    g = float(jax.grad(up_force_on_box)(jnp.asarray(0.26)))
+    assert g < 0.0
+
+
+def test_parse_geoms_mixed_mjcf(tmp_path):
+    mjcf = tmp_path / "mixed.xml"
+    mjcf.write_text("""
+<mujoco>
+  <worldbody>
+    <body name="a" pos="0 0 1">
+      <geom type="sphere" size="0.1"/>
+      <geom type="capsule" fromto="0 0 0  0 0 0.4" size="0.05"/>
+      <body name="b" pos="0 0 0.5">
+        <geom type="box" size="0.1 0.2 0.3"/>
+      </body>
+      <body name="c" pos="0.5 0 0">
+        <geom type="box" size="0.1 0.1 0.1"/>
+        <geom type="cylinder" size="0.03 0.2"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+""")
+    gs = parse_geoms(str(mjcf), ["a", "b", "c"], [1.0, 2.0, 3.0])
+    assert gs.seg_body.tolist() == [0, 0, 2]        # sphere, capsule, cylinder
+    assert gs.box_body.tolist() == [1, 2]
+    np.testing.assert_allclose(gs.seg_p1[1], [0, 0, 0.4], atol=1e-6)
+    np.testing.assert_allclose(gs.box_half[0], [0.1, 0.2, 0.3], atol=1e-6)
+    # parent-child (a,b) and (a,c) excluded; (b,c) boxes admissible
+    pair_bodies = {
+        (int(gs.seg_body[i]), int(gs.box_body[j])) for i, j in gs.sb_pairs
+    }
+    assert (0, 1) not in pair_bodies        # a segments vs b box: adjacent
+    assert (0, 2) not in pair_bodies        # a vs c: adjacent
+    assert (2, 1) in pair_bodies            # c cylinder vs b box
+    assert gs.bb_pairs.shape[0] == 1        # b box vs c box
+    # stiffness = min mass of the pair
+    np.testing.assert_allclose(gs.bb_mass, [2.0])
+
+
+def test_g1_geoms_opt_in(g1_xml):
+    """General narrowphase on G1: parses, steps finite, hot path untouched."""
+    from dataclasses import replace
+
+    from add_gym_tpu.physics.engine import EngineParams, default_state, step
+    from add_gym_tpu.physics.model import attach_geoms, build_physics_model
+
+    model = build_physics_model(g1_xml)
+    assert model.geoms is None
+    model_g = attach_geoms(model, g1_xml)
+    gs = model_g.geoms
+    assert gs is not None
+    if gs.num_pairs == 0:
+        pytest.skip("G1 MJCF exposes no primitive collision geoms")
+    params = EngineParams(
+        kp=jnp.full((model.nd,), 80.0), kv=jnp.full((model.nd,), 4.0)
+    )
+    state = default_state(model_g, 2)
+    state = replace(state, root_pos=state.root_pos.at[:, 2].set(0.793))
+    out, contact = step(model_g, params, state, state.dof_pos)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_g1_capsule_opt_in(g1_xml):
