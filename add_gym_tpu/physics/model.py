@@ -210,21 +210,29 @@ def attach_capsules(model: PhysicsModel, mjcf_path: str,
 
 
 def attach_geoms(model: PhysicsModel, mjcf_path: str,
-                 exclude_adjacent: bool = True) -> PhysicsModel:
+                 exclude_adjacent: bool = True,
+                 prune_rest: bool = True) -> PhysicsModel:
     """Opt a model into GENERAL geom-geom narrowphase contacts.
 
-    Parses ALL primitive collision geoms (sphere/capsule/cylinder/box)
-    into static pair tables (physics/narrowphase.py GeomSet) evaluated by
-    the reference-layout engine path.  Returns a new model; the default
-    model keeps ``geoms=None`` so G1 hot paths are untouched.
+    Parses ALL primitive collision geoms (sphere/capsule/cylinder/box,
+    plus mesh geoms as their STL-AABB boxes) into static pair tables
+    (physics/narrowphase.py GeomSet) evaluated by the reference-layout
+    engine path.  ``prune_rest`` drops pairs already proximate at the zero
+    pose (mesh AABBs of neighbouring links overlap at rest and would fight
+    the stance).  Returns a new model; the default model keeps
+    ``geoms=None`` so G1 hot paths are untouched.
     """
     import dataclasses
 
-    from add_gym_tpu.physics.narrowphase import parse_geoms
+    from add_gym_tpu.physics.narrowphase import parse_geoms, rest_pose_prune
 
     gs = parse_geoms(
         mjcf_path, model.body_names, model.mass, exclude_adjacent
     )
+    if prune_rest:
+        gs = rest_pose_prune(
+            gs, model.parent, model.local_pos, model.local_quat
+        )
     return dataclasses.replace(model, geoms=gs)
 
 

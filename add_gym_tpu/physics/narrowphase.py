@@ -398,22 +398,34 @@ def geom_f_ext(gs: GeomSet, body_pos, body_rot, omega_w, v_origin_w,
 
 
 def parse_geoms(mjcf_path: str, body_names, masses,
-                exclude_adjacent: bool = True) -> GeomSet:
+                exclude_adjacent: bool = True,
+                mesh_as_box: bool = True) -> GeomSet:
     """Collect ALL primitive collision geoms (sphere/capsule/cylinder/box)
     from an MJCF into a :class:`GeomSet` with all-pairs candidate tables
     (different bodies; optionally skipping parent-child pairs, which are
     articulation-constrained).  The general-narrowphase analog of
     :func:`parse_capsules`.
+
+    ``mesh_as_box`` approximates mesh geoms by their STL AABB as an
+    oriented box (the same AABB the engine uses for contact-point
+    generation) — on mesh-heavy models like the G1 this is most of the
+    collision surface.
     """
+    import os
     import xml.etree.ElementTree as ET
 
     from add_gym_tpu.physics.model import _parse_vec, _quat_wxyz_to_mat
 
     tree = ET.parse(mjcf_path)
     name_to_idx = {n: i for i, n in enumerate(body_names)}
+    compiler = tree.getroot().find("compiler")
+    meshdir = os.path.join(
+        os.path.dirname(os.path.abspath(mjcf_path)),
+        compiler.attrib.get("meshdir", ".") if compiler is not None else ".",
+    )
 
-    seg_body, seg_p0, seg_p1, seg_r = [], [], [], []
-    box_body, box_pos, box_rot, box_half = [], [], [], []
+    seg_body, seg_p0, seg_p1, seg_r, seg_mask = [], [], [], [], []
+    box_body, box_pos, box_rot, box_half, box_mask = [], [], [], [], []
     parent_of = {}
 
     def walk(el, parent_name):
@@ -426,6 +438,13 @@ def parse_geoms(mjcf_path: str, body_names, masses,
             if bi is not None:
                 for g in child.findall("geom"):
                     gtype = g.attrib.get("type", "sphere")
+                    # MuJoCo collision filtering: a geom with contype ==
+                    # conaffinity == 0 never collides (the G1 marks its
+                    # visual meshes this way)
+                    ct = int(g.attrib.get("contype", "1"))
+                    ca = int(g.attrib.get("conaffinity", "1"))
+                    if ct == 0 and ca == 0:
+                        continue
                     pos = np.asarray(_parse_vec(g, "pos", [0, 0, 0]), np.float64)
                     R = _quat_wxyz_to_mat(_parse_vec(g, "quat", [1, 0, 0, 0]))
                     if gtype == "sphere":
@@ -458,6 +477,23 @@ def parse_geoms(mjcf_path: str, body_names, masses,
                         box_pos.append(pos)
                         box_rot.append(R)
                         box_half.append(size)
+                    elif gtype == "mesh" and mesh_as_box:
+                        from add_gym_tpu.native import stl_aabb
+
+                        lo, hi = stl_aabb(os.path.join(
+                            meshdir, g.attrib["mesh"] + ".STL"
+                        ))
+                        lo = np.asarray(lo, np.float64)
+                        hi = np.asarray(hi, np.float64)
+                        box_body.append(bi)
+                        box_pos.append(pos + R @ (0.5 * (lo + hi)))
+                        box_rot.append(R)
+                        box_half.append(0.5 * (hi - lo))
+                    # record collision masks for whichever list grew
+                    while len(seg_mask) < len(seg_body):
+                        seg_mask.append((ct, ca))
+                    while len(box_mask) < len(box_body):
+                        box_mask.append((ct, ca))
             walk(child, name)
 
     worldbody = tree.getroot().find("worldbody")
@@ -467,8 +503,12 @@ def parse_geoms(mjcf_path: str, body_names, masses,
     idx_to_name = {i: n for n, i in name_to_idx.items()}
     masses = np.asarray(masses, np.float64)
 
-    def admissible(bi, bj):
+    def admissible(bi, bj, mi, mj):
         if bi == bj:
+            return False
+        # MuJoCo pair rule: (contype_i & conaffinity_j) | (contype_j &
+        # conaffinity_i)
+        if not ((mi[0] & mj[1]) or (mj[0] & mi[1])):
             return False
         if exclude_adjacent:
             ni, nj = idx_to_name[int(bi)], idx_to_name[int(bj)]
@@ -476,12 +516,12 @@ def parse_geoms(mjcf_path: str, body_names, masses,
                 return False
         return True
 
-    def pair_table(bodies_a, bodies_b, same: bool):
+    def pair_table(bodies_a, bodies_b, masks_a, masks_b, same: bool):
         pairs, stiff = [], []
         for i in range(len(bodies_a)):
             for j in range(i + 1 if same else 0, len(bodies_b)):
                 bi, bj = bodies_a[i], bodies_b[j]
-                if admissible(bi, bj):
+                if admissible(bi, bj, masks_a[i], masks_b[j]):
                     pairs.append((i, j))
                     stiff.append(min(masses[bi], masses[bj]))
         return (
@@ -489,9 +529,9 @@ def parse_geoms(mjcf_path: str, body_names, masses,
             np.asarray(stiff, np.float32) if stiff else np.zeros((0,), np.float32),
         )
 
-    ss_pairs, ss_mass = pair_table(seg_body, seg_body, same=True)
-    sb_pairs, sb_mass = pair_table(seg_body, box_body, same=False)
-    bb_pairs, bb_mass = pair_table(box_body, box_body, same=True)
+    ss_pairs, ss_mass = pair_table(seg_body, seg_body, seg_mask, seg_mask, same=True)
+    sb_pairs, sb_mass = pair_table(seg_body, box_body, seg_mask, box_mask, same=False)
+    bb_pairs, bb_mass = pair_table(box_body, box_body, box_mask, box_mask, same=True)
 
     def arr(x, shape, dt=np.float32):
         return np.asarray(x, dt) if len(x) else np.zeros(shape, dt)
@@ -508,6 +548,99 @@ def parse_geoms(mjcf_path: str, body_names, masses,
         ss_pairs=ss_pairs, ss_mass=ss_mass,
         sb_pairs=sb_pairs, sb_mass=sb_mass,
         bb_pairs=bb_pairs, bb_mass=bb_mass,
+    )
+
+
+def rest_pose_prune(gs: GeomSet, parent, local_pos, local_quat,
+                    margin: float = 0.03) -> GeomSet:
+    """Drop candidate pairs already proximate at the zero pose.
+
+    Mesh-AABB boxes of neighbouring links overlap at rest (shoulder vs
+    torso, pelvis vs thigh ...); keeping those pairs would make the robot
+    permanently fight its own stance — the same rationale as the curated
+    self-collision module's rest-pose pruning (model._build_self_collision).
+    Pairs closer than ``margin`` (in surface distance) at the rest pose are
+    removed.  Host-side numpy/one-shot jnp; build-time only.
+    """
+    import dataclasses
+
+    from add_gym_tpu.physics.model import _quat_wxyz_to_mat
+
+    nb = len(parent)
+    pos = np.zeros((nb, 3))
+    rot = np.zeros((nb, 3, 3))
+    rot[0] = np.eye(3)
+    for i in range(1, nb):
+        p = int(parent[i])
+        rot[i] = rot[p] @ _quat_wxyz_to_mat(np.asarray(local_quat[i], np.float64))
+        pos[i] = pos[p] + rot[p] @ np.asarray(local_pos[i], np.float64)
+
+    def seg_world(i):
+        b = int(gs.seg_body[i])
+        return (pos[b] + rot[b] @ gs.seg_p0[i], pos[b] + rot[b] @ gs.seg_p1[i])
+
+    def box_world(i):
+        b = int(gs.box_body[i])
+        return (pos[b] + rot[b] @ gs.box_pos[i], rot[b] @ gs.box_rot[i])
+
+    keep_ss = []
+    for k, (i, j) in enumerate(np.asarray(gs.ss_pairs).reshape(-1, 2)):
+        a0, a1 = seg_world(i)
+        b0, b1 = seg_world(j)
+        pa, pb = segment_closest_points(
+            jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(b0), jnp.asarray(b1)
+        )
+        dist = float(np.linalg.norm(np.asarray(pa - pb)))
+        if dist - (gs.seg_radius[i] + gs.seg_radius[j]) >= margin:
+            keep_ss.append(k)
+
+    keep_sb = []
+    for k, (i, j) in enumerate(np.asarray(gs.sb_pairs).reshape(-1, 2)):
+        a0, a1 = seg_world(i)
+        c, Rw = box_world(j)
+        al = Rw.T @ (a0 - c)
+        bl = Rw.T @ (a1 - c)
+        _, _, _, sd = segment_box_closest(
+            jnp.asarray(al), jnp.asarray(bl), jnp.asarray(gs.box_half[j])
+        )
+        if float(sd) - gs.seg_radius[i] >= margin:
+            keep_sb.append(k)
+
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float64,
+    )
+
+    def box_pair_min_sd(i, j):
+        ci, Ri = box_world(i)
+        cj, Rj = box_world(j)
+        m = np.inf
+        for (src_c, src_R, src_h, dst_c, dst_R, dst_h) in (
+            (ci, Ri, gs.box_half[i], cj, Rj, gs.box_half[j]),
+            (cj, Rj, gs.box_half[j], ci, Ri, gs.box_half[i]),
+        ):
+            vw = src_c[None] + (corners * src_h[None]) @ src_R.T
+            vl = (vw - dst_c[None]) @ dst_R
+            _, _, sd = box_surface_point(
+                jnp.asarray(vl), jnp.broadcast_to(jnp.asarray(dst_h), vl.shape)
+            )
+            m = min(m, float(np.min(np.asarray(sd))))
+        return m
+
+    keep_bb = []
+    for k, (i, j) in enumerate(np.asarray(gs.bb_pairs).reshape(-1, 2)):
+        if box_pair_min_sd(int(i), int(j)) >= margin:
+            keep_bb.append(k)
+
+    def take(arr, idx, width=None):
+        idx = np.asarray(idx, np.int32)
+        return arr[idx] if len(idx) else arr[:0]
+
+    return dataclasses.replace(
+        gs,
+        ss_pairs=take(gs.ss_pairs, keep_ss), ss_mass=take(gs.ss_mass, keep_ss),
+        sb_pairs=take(gs.sb_pairs, keep_sb), sb_mass=take(gs.sb_mass, keep_sb),
+        bb_pairs=take(gs.bb_pairs, keep_bb), bb_mass=take(gs.bb_mass, keep_bb),
     )
 
 

@@ -291,6 +291,36 @@ def test_g1_geoms_opt_in(g1_xml):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_g1_geoms_filtering_and_rest_neutrality(g1_xml):
+    """contype/conaffinity filtering excludes the G1's visual meshes, and
+    the rest-pose-pruned pair table produces ZERO force in the standing
+    pose — the robot must not fight its own stance."""
+    from dataclasses import replace
+
+    from add_gym_tpu.physics.engine import (
+        _body_world_velocities, default_state, forward_kinematics,
+    )
+    from add_gym_tpu.physics.model import attach_geoms, build_physics_model
+    from add_gym_tpu.physics.narrowphase import parse_geoms
+
+    model = build_physics_model(g1_xml)
+    unfiltered = parse_geoms(g1_xml, model.body_names, model.mass)
+    # the G1 marks 36 visual meshes contype=0 conaffinity=0; with
+    # mesh-as-AABB-box parsing they must NOT appear as collidable boxes
+    assert unfiltered.box_body.shape[0] < 36
+
+    model_g = attach_geoms(model, g1_xml)
+    gs = model_g.geoms
+    assert 0 < gs.num_pairs < unfiltered.num_pairs + 1
+
+    state = default_state(model_g, 1)
+    state = replace(state, root_pos=state.root_pos.at[:, 2].set(0.793))
+    bp, br = forward_kinematics(model_g, state)
+    om, vo = _body_world_velocities(model_g, state, br)
+    f = geom_f_ext(gs, bp, br, om, vo, 0.0025, 0.02, model_g.nb)
+    np.testing.assert_allclose(np.asarray(f), 0.0, atol=1e-8)
+
+
 def test_g1_capsule_opt_in(g1_xml):
     """G1: capsules parse from the MJCF; the default model carries none
     (hot paths unaffected); the opted-in engine path still steps finite."""
