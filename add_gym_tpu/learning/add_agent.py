@@ -127,14 +127,26 @@ class ADDAgent:
 
         if cfg.optimizer == "sgd":
             opt = optax.sgd(cfg.learning_rate, momentum=cfg.momentum)
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip), opt
+            )
+        elif cfg.optimizer == "fused_adam":
+            # clip+adam in one tree pass (learning/optim.py); numerically
+            # equal to the chain below (test_learning pin)
+            from add_gym_tpu.learning.optim import fused_clip_adam
+
+            self.optimizer = fused_clip_adam(
+                cfg.learning_rate, clip=cfg.grad_clip
+            )
         else:
             opt = optax.adamw(cfg.learning_rate, weight_decay=0.0)
-        # NOTE (measured, round 3): optax.flatten-ing this chain costs ~8 ms
-        # per update on v5e (the per-minibatch ravel/unravel materializes
-        # the 5.5M-param vector twice); per-leaf fusions are faster.
-        self.optimizer = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip), opt
-        )
+            # NOTE (measured, round 3): optax.flatten-ing this chain costs
+            # ~8 ms per update on v5e (the per-minibatch ravel/unravel
+            # materializes the 5.5M-param vector twice); per-leaf fusions
+            # are faster.
+            self.optimizer = optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip), opt
+            )
         self._key = key
 
     # ------------------------------------------------------------------ init

@@ -129,3 +129,16 @@ def test_mixed_precision_trains():
     assert agent.cfg.mixed_precision
     assert np.isfinite(info["loss"])
     assert abs(info["imp_ratio"] - 1.0) < 0.2
+
+
+def test_fused_adam_optimizer_trains():
+    """agent.optimizer=fused_adam builds and trains one finite iteration
+    (numerical parity vs the optax chain is pinned in test_learning)."""
+    cfg = _small_cfg("add_g1")
+    cfg["agent"]["optimizer"] = "fused_adam"
+    agent, ts, info = _one_iter(cfg)
+    assert np.isfinite(info["loss"])
+    from add_gym_tpu.learning.optim import FusedAdamState
+
+    assert isinstance(ts.opt_state, FusedAdamState)
+    assert int(ts.opt_state.count) > 0

@@ -150,3 +150,41 @@ def test_parity_check_mode():
     cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
     env = build_env(cfg)
     parity_check(env)  # raises on divergence
+
+
+def test_fused_adam_matches_optax():
+    """learning/optim.py fused clip+adam == optax chain(clip, adam),
+    including the clipping branch and bias correction over many steps."""
+    import optax
+
+    from add_gym_tpu.learning.optim import fused_clip_adam
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "w": jax.random.normal(key, (16, 8)),
+        "b": jnp.zeros((8,)),
+        "nested": {"v": jax.random.normal(jax.random.fold_in(key, 1), (8,))},
+    }
+    ref = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(1e-3, weight_decay=0.0)
+    )
+    fused = fused_clip_adam(1e-3, clip=1.0)
+
+    p_ref, s_ref = params, ref.init(params)
+    p_f, s_f = params, fused.init(params)
+    for i in range(10):
+        gk = jax.random.fold_in(key, 100 + i)
+        # alternate tiny grads (no clip) and huge grads (clip active)
+        scale = 1e-3 if i % 2 == 0 else 50.0
+        grads = jax.tree_util.tree_map(
+            lambda p: scale * jax.random.normal(gk, p.shape), p_ref
+        )
+        u_ref, s_ref = ref.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        u_f, s_f = fused.update(grads, s_f, p_f)
+        p_f = optax.apply_updates(p_f, u_f)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_f)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -351,3 +351,31 @@ def test_g1_capsule_opt_in(g1_xml):
     out, contact = step(model_c, params, state, state.dof_pos)
     for leaf in jax.tree_util.tree_leaves(out):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_builder_general_narrowphase_flag():
+    """engine.general_narrowphase=true routes through the builder: geoms
+    attached, Pallas/fused forced off, and the env steps finite."""
+    from add_gym_tpu.builder import build_env
+    from add_gym_tpu.learning.sampler import init_sampler
+    from add_gym_tpu.utils.config import load_config
+
+    cfg = load_config("train")
+    cfg["engine"]["num_envs"] = 4
+    cfg["engine"]["general_narrowphase"] = True
+    cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
+    env = build_env(cfg)
+    assert env.model.geoms is not None and env.model.geoms.num_pairs > 0
+    assert not env.fused and not env.pallas
+
+    sampler = init_sampler(env.motion.num_motions, env.task.sampler_num_segments)
+    es = env.reset_where(
+        jax.random.PRNGKey(0), env.init_state(4), jnp.ones(4, bool), sampler
+    )
+    obs = env.compute_obs(es)
+    tgt = es.sim.dof_pos
+    for _ in range(3):
+        es, *_ = env.step(es, tgt)
+    obs = env.compute_obs(es)
+    for leaf in jax.tree_util.tree_leaves((es, obs)):
+        assert np.isfinite(np.asarray(leaf)).all()
