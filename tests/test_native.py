@@ -77,10 +77,19 @@ def test_csv_speedup(motion_file):
     """The native parser should beat np.loadtxt comfortably."""
     if not native.available():
         pytest.skip("native lib unavailable")
-    t0 = time.perf_counter()
-    native.parse_motion_csv(motion_file)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.loadtxt(motion_file, delimiter=",", dtype=np.float64)
-    t_numpy = time.perf_counter() - t0
+
+    # best-of-3 each: single samples flake when the 1-core CI host is
+    # contended (another process preempting one side of the comparison)
+    def best(fn):
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_native = best(lambda: native.parse_motion_csv(motion_file))
+    t_numpy = best(
+        lambda: np.loadtxt(motion_file, delimiter=",", dtype=np.float64)
+    )
     assert t_native < t_numpy
