@@ -52,7 +52,7 @@ int agt_parse_motion_csv(const char* path, double** out, int64_t* rows,
     if (*p == '\n') {
       if (col > 0) {
         if (ncols < 0) ncols = col;
-        else if (col != ncols) return 3;
+        else if (col != ncols) return 3;  // ragged row
         ++nrows;
         col = 0;
       }

@@ -39,6 +39,32 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
 
+# --- memory-map guard -------------------------------------------------------
+# XLA:CPU's LLVM ORC JIT creates ~3 anonymous maps per compiled executable
+# (~800 maps/test across this suite).  A full single-process run exceeds the
+# kernel's vm.max_map_count default (65530), after which mmap failures
+# SEGFAULT the JIT mid-compile — and the truncated entry it leaves behind
+# poisons the persistent compile cache for every later run.  Dropping JAX's
+# executable caches before the ceiling keeps long runs safe; recompiles of
+# repeated graphs are served by the persistent cache on disk.
+_MAP_GUARD_THRESHOLD = 40_000
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no /proc, and no map-count ceiling concern
+        return 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    if nextitem is not None and _map_count() > _MAP_GUARD_THRESHOLD:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
 
 @pytest.fixture(scope="session")
 def g1_xml():
