@@ -157,6 +157,18 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
             and (num_envs // ndev) % 128 == 0
             and (ndev == 1 or (mesh is not None and not dr.enabled))
         )
+    elif isinstance(pallas_cfg, str):
+        # config values arrive as strings for this key ("auto" is one) —
+        # bool("off") would silently force the kernel ON
+        low = pallas_cfg.lower()
+        if low in ("on", "true", "1"):
+            use_pallas = True
+        elif low in ("off", "false", "0"):
+            use_pallas = False
+        else:
+            raise ValueError(
+                f"engine.pallas must be auto/on/off, got {pallas_cfg!r}"
+            )
     else:
         use_pallas = bool(pallas_cfg)
     return ImitationEnv(

@@ -53,9 +53,18 @@ class Trainer:
         self.env = build_env(cfg, mesh=self.mesh)
         self.agent = build_agent(cfg, self.env)
         self.num_envs = int(cfg.get("engine", {}).get("num_envs", 256))
-        self.iters_per_output = int(cfg.get("iters_per_output", 100))
-        self.test_episodes = int(cfg.get("test_episodes", 10))
-        self.max_samples = int(cfg.get("max_samples", 10**14))
+        # run-length keys live at the top level here, but the reference
+        # keeps them in the agent group (configs/agent/add_g1.yaml:17-18,41)
+        # — accept both spellings so reference-style overrides
+        # (``agent.max_samples=...``) are not silently ignored
+        agent_cfg = cfg.get("agent", {}) or {}
+
+        def _run_key(key, default):
+            return agent_cfg.get(key, cfg.get(key, default))
+
+        self.iters_per_output = int(_run_key("iters_per_output", 100))
+        self.test_episodes = int(_run_key("test_episodes", 10))
+        self.max_samples = int(_run_key("max_samples", 10**14))
         self.exp_dir = os.path.join(
             cfg.get("log_dir", "logs/"), cfg.get("experiment_name", "exp")
         )

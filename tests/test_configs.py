@@ -39,6 +39,23 @@ def test_overrides_apply():
     assert cfg["agent"]["batch_size"] == 2
 
 
+def test_pallas_override_strings():
+    """CLI overrides arrive as strings: ``engine.pallas=off`` must disable
+    the kernel (``bool("off")`` is True — the builder parses explicitly)."""
+    from add_gym_tpu.builder import build_env
+
+    base = ["engine.num_envs=4", "task.motion_file=" + _one_clip()]
+    env = build_env(load_config("train", base + ["engine.pallas=off"]))
+    assert not env.pallas
+    with pytest.raises(ValueError, match="auto/on/off"):
+        build_env(load_config("train", base + ["engine.pallas=nope"]))
+
+
+def _one_clip():
+    cfg = load_config("parity_cpu4")
+    return cfg["task"]["motion_file"]
+
+
 def test_dr_pod_has_randomization():
     cfg = load_config("dr_pod")
     dr = cfg["engine"].get("domain_rand", {})
