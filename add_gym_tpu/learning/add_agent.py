@@ -546,8 +546,10 @@ class ADDAgent:
                     self._loss, has_aux=True
                 )(params, batch)
                 if axis is not None:
+                    # the gradient pmean is the DDP contract and must be
+                    # per-minibatch; metrics are averaged once after the
+                    # epoch scan (40 scalar-tree collectives -> 1)
                     grads = jax.lax.pmean(grads, axis)
-                    info = jax.lax.pmean(info, axis)
                 updates, opt_state = self.optimizer.update(
                     grads, opt_state, params
                 )
@@ -558,7 +560,12 @@ class ADDAgent:
             return (params, opt_state), infos
 
         keys = jax.random.split(key, cfg.update_epochs)
-        return jax.lax.scan(epoch_fn, (params, opt_state), keys)
+        (params, opt_state), infos = jax.lax.scan(
+            epoch_fn, (params, opt_state), keys
+        )
+        if axis is not None:
+            infos = jax.lax.pmean(infos, axis)
+        return (params, opt_state), infos
 
     def update_model(self, ts: TrainState, data, key):
         """Epoch/minibatch PPO+ADD updates.  Ref: ppo_agent.py:171-192.

@@ -410,6 +410,10 @@ def parse_geoms(mjcf_path: str, body_names, masses,
     oriented box (the same AABB the engine uses for contact-point
     generation) — on mesh-heavy models like the G1 this is most of the
     collision surface.
+
+    Limitation: ``contype``/``conaffinity`` are read from geom attributes
+    only; MJCF ``<default>`` class inheritance is not resolved (the G1
+    sets them inline on every visual geom, as most robot MJCFs do).
     """
     import os
     import xml.etree.ElementTree as ET
