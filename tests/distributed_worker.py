@@ -29,10 +29,15 @@ def main():
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=4"
         ).strip()
-    # share the test compile cache (both procs compile the same graphs)
-    os.environ.setdefault(
+    # per-process compile cache: both procs compile the same graphs, and
+    # concurrent same-key writes to one cache dir have corrupted entries
+    # on this box before (then later runs SIGSEGV deserializing them)
+    base = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/jax_comp_tests"),
+    )
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        base, f"dw{process_id}"
     )
 
     import jax
