@@ -137,16 +137,16 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
     )
     # mass DR needs per-env inertia (fused-path data); the Pallas kernel
     # bakes inertia as compile-time constants
-    # general geom-geom narrowphase (physics/narrowphase.py GeomSet):
-    # evaluated by the reference-layout engine path only, so enabling it
-    # forces fused=False and pallas=False
+    # general geom-geom narrowphase (physics/narrowphase.py GeomSet): the
+    # fused XLA path evaluates it as held per-control-step wrenches
+    # (fused_step.compute_np_ext); only the Pallas kernel is excluded (the
+    # vectorized pair tables are constant arrays, kernel-incompatible)
     general_np = bool(engine_cfg.get("general_narrowphase", False))
     if general_np:
         from add_gym_tpu.physics.model import attach_geoms
 
         model = attach_geoms(model, mjcf)
         pallas_cfg = False
-        engine_cfg = dict(engine_cfg, fused=False)
 
     mass_dr = dr.enabled and dr.mass_enabled
     if pallas_cfg == "auto":

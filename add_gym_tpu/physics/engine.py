@@ -400,42 +400,61 @@ def mass_scale_or_none(params: EngineParams, dtype=jnp.float32):
     return msv[None] if msv.ndim == 0 else msv
 
 
-def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: float,
-            sc_f_ext=None):
-    """One physics substep: contacts -> PD torque -> ABA -> integrate.
-
-    ``sc_f_ext`` holds precomputed self-collision forces for the control
-    step (see :func:`step`); when None they are evaluated live.
-    """
-    body_pos, body_rot = forward_kinematics(model, state)
-    f_ext_w, contact = contact_forces(model, params, body_pos, body_rot, state, dt)
-    if sc_f_ext is not None:
-        f_ext_w = f_ext_w + sc_f_ext
-    elif params.self_collision and model.sc_pairs.size:
-        omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
-        f_ext_w = f_ext_w + self_collision_forces(
-            model, params, body_pos, body_rot, omega_w, v_origin_w, dt
-        )
+def narrowphase_f_ext(model: PhysicsModel, params: EngineParams,
+                      body_pos, body_rot, omega_w, v_origin_w, dt):
+    """Optional narrowphase contact wrenches: capsule pairs + general
+    geom-geom pairs (physics/narrowphase.py).  Returns [N, nb, 6] or None
+    when the model opted into neither."""
+    out = None
     if model.capsules is not None and model.capsules.num_pairs:
-        # optional capsule-capsule narrowphase (physics/narrowphase.py):
-        # static pair table, same spring-damper family as above
         from add_gym_tpu.physics.narrowphase import capsule_f_ext
 
-        omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
-        f_ext_w = f_ext_w + capsule_f_ext(
+        out = capsule_f_ext(
             model.capsules, body_pos, body_rot, omega_w, v_origin_w, dt,
             params.contact_timeconst, model.nb,
         )
     if model.geoms is not None and model.geoms.num_pairs:
-        # optional GENERAL geom-geom narrowphase (sphere/capsule/box pair
-        # tables, physics/narrowphase.py GeomSet)
         from add_gym_tpu.physics.narrowphase import geom_f_ext
 
-        omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
-        f_ext_w = f_ext_w + geom_f_ext(
+        g = geom_f_ext(
             model.geoms, body_pos, body_rot, omega_w, v_origin_w, dt,
             params.contact_timeconst, model.nb,
         )
+        out = g if out is None else out + g
+    return out
+
+
+def substep(model: PhysicsModel, params: EngineParams, state: SimState, dt: float,
+            held_f_ext=None):
+    """One physics substep: contacts -> PD torque -> ABA -> integrate.
+
+    ``held_f_ext`` carries the slow contact forces precomputed once per
+    control step (self-collision + capsule/geom narrowphase, see
+    :func:`step`); when None they are all evaluated live here.
+    """
+    body_pos, body_rot = forward_kinematics(model, state)
+    f_ext_w, contact = contact_forces(model, params, body_pos, body_rot, state, dt)
+    if held_f_ext is not None:
+        f_ext_w = f_ext_w + held_f_ext
+    else:
+        need_sc = params.self_collision and model.sc_pairs.size
+        need_np = (
+            (model.capsules is not None and model.capsules.num_pairs)
+            or (model.geoms is not None and model.geoms.num_pairs)
+        )
+        if need_sc or need_np:
+            omega_w, v_origin_w = _body_world_velocities(
+                model, state, body_rot
+            )
+            if need_sc:
+                f_ext_w = f_ext_w + self_collision_forces(
+                    model, params, body_pos, body_rot, omega_w, v_origin_w, dt
+                )
+            np_ext = narrowphase_f_ext(
+                model, params, body_pos, body_rot, omega_w, v_origin_w, dt
+            ) if need_np else None
+            if np_ext is not None:
+                f_ext_w = f_ext_w + np_ext
     ms = mass_scale_or_none(params, state.root_pos.dtype)
     if ms is not None:
         # contact/self-collision springs are mass-proportional: penetration
@@ -542,18 +561,32 @@ def step(model: PhysicsModel, params: EngineParams, state: SimState, pd_target):
     )
     dt = params.ctrl_dt / params.substeps
 
-    # self-collision forces vary slowly vs the 400 Hz substep rate: evaluate
-    # once per control step and hold (matches fused_step / pallas_step)
-    sc_f_ext = None
-    if params.self_collision and model.sc_pairs.size:
+    # self-collision + narrowphase forces vary slowly vs the 400 Hz substep
+    # rate: evaluate once per control step and hold (matches fused_step /
+    # pallas_step)
+    held_f_ext = None
+    need_sc = params.self_collision and model.sc_pairs.size
+    need_np = (
+        (model.capsules is not None and model.capsules.num_pairs)
+        or (model.geoms is not None and model.geoms.num_pairs)
+    )
+    if need_sc or need_np:
         body_pos, body_rot = forward_kinematics(model, state)
         omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
-        sc_f_ext = self_collision_forces(
-            model, params, body_pos, body_rot, omega_w, v_origin_w, dt
-        )
+        if need_sc:
+            held_f_ext = self_collision_forces(
+                model, params, body_pos, body_rot, omega_w, v_origin_w, dt
+            )
+        if need_np:
+            np_ext = narrowphase_f_ext(
+                model, params, body_pos, body_rot, omega_w, v_origin_w, dt
+            )
+            held_f_ext = (
+                np_ext if held_f_ext is None else held_f_ext + np_ext
+            )
 
     def body(s, _):
-        s, contact = substep(model, params, s, dt, sc_f_ext)
+        s, contact = substep(model, params, s, dt, held_f_ext)
         return s, contact
 
     state, contacts = jax.lax.scan(body, state, None, length=params.substeps)

@@ -727,7 +727,10 @@ def fused_substep(fc: FusedModelConstants, params: EngineParams, state: SimState
     kp, kv, mu = _prep_params(fc, params, state.root_pos.dtype)
     ms = _prep_mass(params, state.root_pos.dtype)
     tables = _dof_tables(fc, state.root_pos.dtype)
-    sc_ext = compute_sc_ext(fc, params, dt, state)
+    sc_ext = merge_ext(
+        compute_sc_ext(fc, params, dt, state),
+        compute_np_ext(fc, params, dt, state),
+    )
     rp, rq, rv, ra, q, qd, contact = _substep_core(
         fc, params, kp, kv, mu, tables, dt,
         state.root_pos.T, state.root_quat.T, state.root_vel.T,
@@ -827,7 +830,10 @@ def fused_step(fc: FusedModelConstants, params: EngineParams, state: SimState, p
     kp, kv, mu = _prep_params(fc, params, state.root_pos.dtype)
     ms = _prep_mass(params, state.root_pos.dtype)
     tables = _dof_tables(fc, state.root_pos.dtype)
-    sc_ext = compute_sc_ext(fc, params, dt, state)
+    sc_ext = merge_ext(
+        compute_sc_ext(fc, params, dt, state),
+        compute_np_ext(fc, params, dt, state),
+    )
 
     def body(s, _):
         rp, rq, rv, ra, q, qd, contact = _substep_core(
@@ -858,3 +864,66 @@ def compute_sc_ext(fc: FusedModelConstants, params: EngineParams, dt, state: Sim
         state.root_ang_vel.T, state.dof_vel.T, jnp.cos(q), jnp.sin(q),
     )
     return _sc_forces_stacked(fc, params, dt, W, o, omega, vel)
+
+
+def compute_np_ext(fc: FusedModelConstants, params: EngineParams, dt, state: SimState):
+    """Held capsule/geom narrowphase forces as stacked per-body wrenches.
+
+    Evaluates the engine path's vectorized narrowphase (one source of
+    truth: engine.narrowphase_f_ext over [N, nb] FK — hundreds of pairs
+    would explode the per-pair-unrolled stacked style) and converts the
+    [N, nb, 6] wrench to the ``sc_ext`` dict format consumed by
+    ``_substep_core``.  Returns {body: (n [3, N], f [3, N])} or None.
+    XLA-path only: uses constant arrays, kernel-incompatible.
+    """
+    model = fc.model
+    caps = model.capsules
+    geoms = model.geoms
+    has_caps = caps is not None and caps.num_pairs
+    has_geoms = geoms is not None and geoms.num_pairs
+    if not has_caps and not has_geoms:
+        return None
+    from add_gym_tpu.physics.engine import (
+        _body_world_velocities,
+        forward_kinematics,
+        narrowphase_f_ext,
+    )
+
+    body_pos, body_rot = forward_kinematics(model, state)
+    omega_w, v_origin_w = _body_world_velocities(model, state, body_rot)
+    f_ext = narrowphase_f_ext(
+        model, params, body_pos, body_rot, omega_w, v_origin_w, dt
+    )                                                        # [N, nb, 6]
+
+    # static set of bodies any pair table can touch
+    touched: list = []
+    if has_caps:
+        touched.append(caps.body[caps.pairs.ravel()])
+    if has_geoms:
+        touched.append(geoms.seg_body[geoms.ss_pairs.ravel()])
+        if geoms.sb_pairs.size:
+            touched.append(geoms.seg_body[geoms.sb_pairs[:, 0]])
+            touched.append(geoms.box_body[geoms.sb_pairs[:, 1]])
+        if geoms.bb_pairs.size:
+            touched.append(geoms.box_body[geoms.bb_pairs.ravel()])
+    bodies = np.unique(np.concatenate(touched)) if touched else np.zeros(0)
+    return {
+        int(b): (f_ext[:, int(b), 0:3].T, f_ext[:, int(b), 3:6].T)
+        for b in bodies
+    }
+
+
+def merge_ext(a, b):
+    """Merge two {body: (n, f)} held-force dicts (either may be None)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    out = dict(a)
+    for k, (n_c, f_c) in b.items():
+        if k in out:
+            n0, f0 = out[k]
+            out[k] = (n0 + n_c, f0 + f_c)
+        else:
+            out[k] = (n_c, f_c)
+    return out

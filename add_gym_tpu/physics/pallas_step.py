@@ -180,6 +180,15 @@ def pallas_step(
         assert jnp.ndim(msv) == 0, (
             "per-env mass_scale unsupported in the Pallas kernel (use engine.fused)"
         )
+    # capsule/geom narrowphase tables are constant arrays evaluated by the
+    # fused XLA path (fused_step.compute_np_ext); silently dropping their
+    # contacts here would be wrong, so refuse loudly
+    assert fc.model.capsules is None or not fc.model.capsules.num_pairs, (
+        "capsule narrowphase unsupported in the Pallas kernel (use engine.fused)"
+    )
+    assert fc.model.geoms is None or not fc.model.geoms.num_pairs, (
+        "general narrowphase unsupported in the Pallas kernel (use engine.fused)"
+    )
     kp, kv, mu = _prep_params(fc, params)
     tables = _dof_tables(fc)
     # uniform [nd, N]/[1, N] blocks (broadcast host-side; tiny arrays)

@@ -353,9 +353,57 @@ def test_g1_capsule_opt_in(g1_xml):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_fused_geom_parity(g1_xml):
+    """The fused path evaluates geom narrowphase as held per-control-step
+    wrenches (fused_step.compute_np_ext) — identical math to the engine
+    path's held block, env-minor layout.  Pin the equivalence on a
+    perturbed standing state where mesh-AABB pairs are active."""
+    from dataclasses import replace
+
+    from add_gym_tpu.physics import engine as eng
+    from add_gym_tpu.physics.fused_step import FusedModelConstants, fused_step
+    from add_gym_tpu.physics.model import attach_geoms, build_physics_model
+
+    from tests.test_physics import reference_gains, standing_state
+
+    model = attach_geoms(build_physics_model(g1_xml), g1_xml)
+    assert model.geoms.num_pairs > 0
+    fc = FusedModelConstants(model)
+    kp, kv = reference_gains(model, scale=3.0)
+    params = eng.EngineParams(kp=kp, kv=kv, self_collision=True)
+
+    n = 4
+    key = jax.random.PRNGKey(3)
+    s = standing_state(model, n=n)
+    # bend enough that thigh/torso mesh boxes approach each other
+    s = replace(
+        s,
+        dof_pos=s.dof_pos + 0.2 * jax.random.normal(key, s.dof_pos.shape),
+        dof_vel=0.5 * jax.random.normal(jax.random.fold_in(key, 1),
+                                        s.dof_vel.shape),
+    )
+    tgt = s.dof_pos
+
+    ref_step = jax.jit(lambda p, st, t: eng.step(model, p, st, t))
+    soa_step = jax.jit(lambda p, st, t: fused_step(fc, p, st, t))
+    s_ref, c_ref = s, None
+    s_soa, c_soa = s, None
+    for _ in range(3):
+        s_ref, c_ref = ref_step(params, s_ref, tgt)
+        s_soa, c_soa = soa_step(params, s_soa, tgt)
+    for name in ("root_pos", "root_quat", "root_vel", "root_ang_vel",
+                 "dof_pos", "dof_vel"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_ref, name)), np.asarray(getattr(s_soa, name)),
+            atol=5e-4, err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_soa), atol=5e-2)
+
+
 def test_builder_general_narrowphase_flag():
     """engine.general_narrowphase=true routes through the builder: geoms
-    attached, Pallas/fused forced off, and the env steps finite."""
+    attached, the fused XLA path kept (it evaluates them held), only the
+    Pallas kernel excluded, and the env steps finite."""
     from add_gym_tpu.builder import build_env
     from add_gym_tpu.learning.sampler import init_sampler
     from add_gym_tpu.utils.config import load_config
@@ -366,7 +414,7 @@ def test_builder_general_narrowphase_flag():
     cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
     env = build_env(cfg)
     assert env.model.geoms is not None and env.model.geoms.num_pairs > 0
-    assert not env.fused and not env.pallas
+    assert env.fused and not env.pallas
 
     sampler = init_sampler(env.motion.num_motions, env.task.sampler_num_segments)
     es = env.reset_where(
