@@ -135,8 +135,6 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
         ),
         mass_range=tuple(dr_cfg.get("mass_range", (1.0, 1.0))),
     )
-    # mass DR needs per-env inertia (fused-path data); the Pallas kernel
-    # bakes inertia as compile-time constants
     # general geom-geom narrowphase (physics/narrowphase.py GeomSet): the
     # fused XLA path evaluates it as held per-control-step wrenches
     # (fused_step.compute_np_ext); only the Pallas kernel is excluded (the
@@ -148,12 +146,13 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
         model = attach_geoms(model, mjcf)
         pallas_cfg = False
 
-    mass_dr = dr.enabled and dr.mass_enabled
     if pallas_cfg == "auto":
         ndev = jax.device_count()
+        # DR (incl. per-env mass_scale) rides into the single-device kernel
+        # as [.., N] inputs; the SHARDED kernel path requires shared params
+        # (sharded_pallas_step), so multi-device DR uses the fused path
         use_pallas = (
             jax.default_backend() == "tpu"
-            and not mass_dr
             and (num_envs // ndev) % 128 == 0
             and (ndev == 1 or (mesh is not None and not dr.enabled))
         )

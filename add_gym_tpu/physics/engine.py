@@ -73,8 +73,8 @@ class EngineParams:
     # spatial inertias, velocity bias forces and contact forces; gravity
     # (an acceleration) and motor-side constants (armature, joint damping,
     # PD torque limits) correctly do NOT scale — a heavier robot under the
-    # same actuators is the sim2real axis.  Per-env values are supported by
-    # the fused XLA path only (the Pallas kernel bakes inertia constants).
+    # same actuators is the sim2real axis.  Per-env values ride into the
+    # Pallas kernel as one extra [1, N] input (pallas_step use_ms).
     mass_scale: jnp.ndarray | float = 1.0
     friction_vslip: float = field(metadata=dict(static=True), default=0.05)
     gravity: float = field(metadata=dict(static=True), default=9.81)

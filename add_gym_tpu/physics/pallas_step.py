@@ -63,11 +63,14 @@ def pick_block(N: int, cap: int = DEFAULT_BLOCK) -> int:
 def _control_step_kernel(
     fc: FusedModelConstants,
     params: EngineParams,
-    # refs:
-    rp_ref, rq_ref, rv_ref, ra_ref, q_ref, qd_ref, prev_tgt_ref, cmd_ref,
-    kp_ref, kv_ref, mu_ref, damp_ref, fric_ref, lo_ref, hi_ref,
-    rp_o, rq_o, rv_o, ra_o, q_o, qd_o, tgt_o, contact_o,
+    use_ms: bool,
+    *refs,
 ):
+    (rp_ref, rq_ref, rv_ref, ra_ref, q_ref, qd_ref, prev_tgt_ref, cmd_ref,
+     kp_ref, kv_ref, mu_ref, damp_ref, fric_ref, lo_ref, hi_ref) = refs[:15]
+    n_in = 16 if use_ms else 15
+    ms = refs[15][:][0] if use_ms else None        # [B] mass/inertia scale
+    (rp_o, rq_o, rv_o, ra_o, q_o, qd_o, tgt_o, contact_o) = refs[n_in:]
     dt = params.ctrl_dt / params.substeps
 
     rp = rp_ref[:]
@@ -105,6 +108,7 @@ def _control_step_kernel(
         rp, rq, rv, ra, q, qd, contact = _substep_core(
             fc, params, kp, kv, mu, tables, dt, rp, rq, rv, ra, q, qd, tgt,
             sc_ext=sc_ext,
+            ms=ms,
         )
 
     rp_o[:] = rp
@@ -118,7 +122,7 @@ def _control_step_kernel(
 
 
 def _build_call(fc: FusedModelConstants, params: EngineParams, N: int, block: int,
-                interpret: bool = False):
+                interpret: bool = False, use_ms: bool = False):
     nd = fc.model.nd
     nb = fc.nb
     assert N % block == 0, f"num_envs {N} must be a multiple of block {block}"
@@ -134,6 +138,8 @@ def _build_call(fc: FusedModelConstants, params: EngineParams, N: int, block: in
         spec(nd), spec(nd), spec(nd), spec(1), spec(nd), spec(nd), spec(nd),
         spec(nd),
     ]
+    if use_ms:
+        in_specs.append(spec(1))                   # [1, N] mass scale
     out_specs = (
         spec(3), spec(4), spec(3), spec(3), spec(nd), spec(nd), spec(nd),
         spec(nb),
@@ -143,7 +149,7 @@ def _build_call(fc: FusedModelConstants, params: EngineParams, N: int, block: in
         for r in (3, 4, 3, 3, nd, nd, nd, nb)
     )
     return pl.pallas_call(
-        partial(_control_step_kernel, fc, params),
+        partial(_control_step_kernel, fc, params, use_ms),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -167,19 +173,13 @@ def pallas_step(
     N = state.root_pos.shape[0]
     block = pick_block(N, cap=block)
     nd = fc.model.nd
-    # the kernel bakes inertia constants; mass DR needs the fused XLA path.
-    # A concrete scalar is checked for 1.0; a 0-d tracer (params passed as a
-    # jit argument) is tolerated — the builder routes mass DR to the fused
-    # path before it can reach here — but per-env arrays are rejected.
+    # mass/inertia DR: a per-env (or non-unit / traced) mass_scale enters
+    # the kernel as one extra [1, N] input — the ABA blocks are already
+    # lifted by scaling a lanes row (_lift_const_mat), so scaling by ms
+    # instead of ones is the same op count.  A concrete 1.0 compiles the
+    # ms-free kernel (zero cost, the common non-DR case).
     msv = params.mass_scale
-    if isinstance(msv, (int, float)):
-        assert float(msv) == 1.0, (
-            "mass_scale != 1 unsupported in the Pallas kernel (use engine.fused)"
-        )
-    else:
-        assert jnp.ndim(msv) == 0, (
-            "per-env mass_scale unsupported in the Pallas kernel (use engine.fused)"
-        )
+    use_ms = not (isinstance(msv, (int, float)) and float(msv) == 1.0)
     # capsule/geom narrowphase tables are constant arrays evaluated by the
     # fused XLA path (fused_step.compute_np_ext); silently dropping their
     # contacts here would be wrong, so refuse loudly
@@ -198,12 +198,19 @@ def pallas_step(
     mu = jnp.full((1, N), mu) if mu.ndim == 0 else mu.reshape(1, N)
     tables = tuple(jnp.broadcast_to(t, (nd, N)) for t in tables)
 
-    call = _build_call(fc, params, N, block, interpret=interpret)
-    rp, rq, rv, ra, q, qd, tgt, contact = call(
+    call = _build_call(fc, params, N, block, interpret=interpret,
+                       use_ms=use_ms)
+    args = [
         state.root_pos.T, state.root_quat.T, state.root_vel.T,
         state.root_ang_vel.T, state.dof_pos.T, state.dof_vel.T,
         state.pd_target.T, pd_target.T, kp, kv, mu, *tables,
-    )
+    ]
+    if use_ms:
+        ms = jnp.broadcast_to(
+            jnp.asarray(msv, jnp.float32), (N,)
+        ).reshape(1, N)
+        args.append(ms)
+    rp, rq, rv, ra, q, qd, tgt, contact = call(*args)
     new_state = SimState(
         root_pos=rp.T,
         root_quat=rq.T,

@@ -97,6 +97,39 @@ def test_mini_sharded_pallas_matches_single(mini):
     assert not s_out.root_pos.sharding.is_fully_replicated
 
 
+def test_mini_kernel_mass_scale_parity(mini):
+    """Per-env mass_scale (mass DR) rides into the kernel as a [1, N]
+    input (pallas_step use_ms) and matches the fused XLA path."""
+    model, fc = mini
+    params, s, tgt = _inputs(model)
+    ms = jnp.linspace(0.7, 1.3, N)
+    params = replace(params, mass_scale=ms)
+    s_f, c_f = jax.jit(lambda p, s, t: fused_step(fc, p, s, t))(params, s, tgt)
+    s_p, c_p = jax.jit(
+        lambda p, s, t: pallas_step(fc, p, s, t, interpret=True)
+    )(params, s, tgt)
+    _assert_state_close(s_f, s_p)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_p), atol=1e-3)
+    # the scale actually matters: envs with different mass land differently
+    assert not np.allclose(
+        np.asarray(s_p.dof_vel[0]), np.asarray(s_p.dof_vel[-1])
+    )
+
+
+def test_mini_kernel_concrete_unit_mass_is_ms_free(mini):
+    """A closure-captured concrete mass_scale == 1.0 (the non-DR env path)
+    compiles the ms-free kernel and still matches the fused path."""
+    model, fc = mini
+    params, s, tgt = _inputs(model)
+    assert isinstance(params.mass_scale, float)
+    s_f, c_f = jax.jit(lambda s, t: fused_step(fc, params, s, t))(s, tgt)
+    s_p, c_p = jax.jit(
+        lambda s, t: pallas_step(fc, params, s, t, interpret=True)
+    )(s, tgt)
+    _assert_state_close(s_f, s_p)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_p), atol=1e-3)
+
+
 def test_mini_sharded_rejects_per_env_params(mini):
     """Per-env engine params (mass DR etc.) must refuse the sharded-Pallas
     path loudly rather than silently broadcasting wrong shapes."""
