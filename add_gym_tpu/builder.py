@@ -148,13 +148,13 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
 
     if pallas_cfg == "auto":
         ndev = jax.device_count()
-        # DR (incl. per-env mass_scale) rides into the single-device kernel
-        # as [.., N] inputs; the SHARDED kernel path requires shared params
-        # (sharded_pallas_step), so multi-device DR uses the fused path
+        # DR (incl. per-env mass_scale) rides into the kernel as [.., N]
+        # inputs; on a mesh, per-env param leaves shard along the env axis
+        # inside sharded_pallas_step
         use_pallas = (
             jax.default_backend() == "tpu"
             and (num_envs // ndev) % 128 == 0
-            and (ndev == 1 or (mesh is not None and not dr.enabled))
+            and (ndev == 1 or mesh is not None)
         )
     elif isinstance(pallas_cfg, str):
         # config values arrive as strings for this key ("auto" is one) —

@@ -133,10 +133,8 @@ class ImitationEnv:
 
             self._fc = FusedModelConstants(model)
             if mesh is not None:
-                assert not dr.enabled, (
-                    "pallas + mesh + domain randomization unsupported; "
-                    "use the fused XLA path (engine.pallas=false)"
-                )
+                # per-env DR params shard along the env axis inside
+                # sharded_pallas_step; shared params stay closure-captured
                 self._step_fn = lambda p, s, t: sharded_pallas_step(
                     self._fc, mesh, p, s, t
                 )

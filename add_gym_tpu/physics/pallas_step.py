@@ -238,29 +238,57 @@ def sharded_pallas_step(
     Pallas programs are opaque to GSPMD, so the kernel is wrapped in
     shard_map over the ``env`` axis: each device runs the kernel on its
     local env shard (physics is embarrassingly parallel across envs —
-    SURVEY.md §2.7).  EngineParams must be per-model ([nd] gains, scalar
-    friction); per-env DR params ride inside ``state`` normally but with
-    DR enabled use the XLA fused path instead.
+    SURVEY.md §2.7).  Per-env DR params (leading dim == num_envs: [N, nd]
+    gains, [N] friction/mass_scale) shard along the env axis like the
+    state; shared ([nd]/scalar) leaves replicate.
     """
     from jax.sharding import PartitionSpec as P
 
-    kp = jnp.asarray(params.kp)
-    assert kp.ndim == 1 and jnp.ndim(params.friction_mu) == 0, (
-        "sharded pallas path requires shared (non-per-env) engine params"
-    )
+    num_envs = state.root_pos.shape[0]
 
-    def local_step(state, pd_target):
+    def leaf_spec(x):
+        # per-env leaves have the env axis leading; model-shared leaves
+        # ([nd] gains, scalars) replicate.  nd == num_envs cannot collide:
+        # env counts are 128-multiples (pick_block), dof counts are not.
+        if jnp.ndim(x) >= 1 and jnp.shape(x)[0] == num_envs:
+            return P(axis)
+        return P()
+
+    params_spec = jax.tree_util.tree_map(leaf_spec, params)
+    has_per_env = any(
+        s != P() for s in jax.tree_util.tree_leaves(
+            params_spec, is_leaf=lambda x: isinstance(x, P)
+        )
+    )
+    state_spec = jax.tree_util.tree_map(lambda _: P(axis), state)
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, and the kernel is purely per-shard (no collectives)
+    if not has_per_env:
+        # shared params stay closure-captured: a concrete mass_scale == 1.0
+        # keeps the ms-free kernel (pallas_step use_ms)
+        def local_step(state, pd_target):
+            return pallas_step(
+                fc, params, state, pd_target, block=block, interpret=interpret
+            )
+
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(state_spec, P(axis)),
+            out_specs=(state_spec, P(axis)),
+            check_vma=False,
+        )(state, pd_target)
+
+    def local_step(params, state, pd_target):
         return pallas_step(
             fc, params, state, pd_target, block=block, interpret=interpret
         )
 
-    state_spec = jax.tree_util.tree_map(lambda _: P(axis), state)
-    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-    # annotation, and the kernel is purely per-shard (no collectives)
     return jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_spec, P(axis)),
+        in_specs=(params_spec, state_spec, P(axis)),
         out_specs=(state_spec, P(axis)),
         check_vma=False,
-    )(state, pd_target)
+    )(params, state, pd_target)

@@ -130,14 +130,38 @@ def test_mini_kernel_concrete_unit_mass_is_ms_free(mini):
     np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_p), atol=1e-3)
 
 
-def test_mini_sharded_rejects_per_env_params(mini):
-    """Per-env engine params (mass DR etc.) must refuse the sharded-Pallas
-    path loudly rather than silently broadcasting wrong shapes."""
+def test_mini_sharded_per_env_params_parity(mini):
+    """Per-env DR params ([N, nd] gains, [N] mass_scale) shard along the
+    env axis inside sharded_pallas_step and match the single-device kernel
+    — the pod-scale DR path."""
     model, fc = mini
     if len(jax.devices()) < 8:
         pytest.skip("needs the virtual 8-device CPU mesh")
     mesh = make_mesh(8)
     params, s, tgt = _inputs(model)
-    bad = replace(params, kp=jnp.tile(params.kp[None], (N, 1)))
-    with pytest.raises(AssertionError):
-        sharded_pallas_step(fc, mesh, bad, s, tgt, interpret=True)
+    key = jax.random.PRNGKey(7)
+    params = replace(
+        params,
+        kp=params.kp[None] * jax.random.uniform(key, (N, 1), minval=0.8,
+                                                maxval=1.2),
+        mass_scale=jnp.linspace(0.7, 1.3, N),
+    )
+
+    s_ref, c_ref = jax.jit(
+        lambda p, s, t: pallas_step(fc, p, s, t, interpret=True)
+    )(params, s, tgt)
+
+    params_sh = jax.tree_util.tree_map(
+        lambda x: shard_env_tree(mesh, x)
+        if jnp.ndim(x) >= 1 and jnp.shape(x)[0] == N else x,
+        params,
+    )
+    s_sh = shard_env_tree(mesh, s)
+    tgt_sh = shard_env_tree(mesh, tgt)
+    s_out, c_out = jax.jit(
+        lambda p, s, t: sharded_pallas_step(
+            fc, mesh, p, s, t, interpret=True
+        )
+    )(params_sh, s_sh, tgt_sh)
+    _assert_state_close(s_ref, s_out)
+    np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_out), atol=1e-3)
