@@ -68,8 +68,10 @@ def test_dr_pod_has_randomization():
 @pytest.mark.slow
 def test_dr_pod_smoke_trains():
     """One training iteration of the dr_pod composition at small scale:
-    mass DR forces the fused physics backend through the builder and the
-    whole stack (DR resample at reset, per-env params, ADD update) runs."""
+    the whole stack (DR resample at reset, per-env params incl. mass
+    scale, ADD update) runs. On the CPU test backend auto-pallas resolves
+    to the fused path; on TPU the kernel takes DR params directly
+    (tests/test_pallas_mini.py pins that parity)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -86,7 +88,7 @@ def test_dr_pod_smoke_trains():
     cfg["agent"]["critic_net"] = "fc_2layers_64units"
     cfg["agent"]["disc_net"] = "fc_2layers_64units"
     env = build_env(cfg)
-    assert env.fused and not env.pallas  # mass DR routes around Pallas
+    assert env.fused and not env.pallas  # auto resolves off-TPU -> fused
     assert env.dr.mass_enabled
     agent = build_agent(cfg, env)
     ts = agent.init_train_state(jax.random.PRNGKey(0))
