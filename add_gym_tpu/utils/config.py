@@ -22,8 +22,12 @@ def _parse_value(v: str) -> Any:
     try:
         return ast.literal_eval(v)
     except (ValueError, SyntaxError):
-        if v.lower() in ("true", "false"):
-            return v.lower() == "true"
+        # YAML 1.1 booleans: every bool-typed key would otherwise see a
+        # truthy non-empty string ("engine.fused=off" force-enabling fused)
+        if v.lower() in ("true", "on", "yes"):
+            return True
+        if v.lower() in ("false", "off", "no"):
+            return False
         if v.lower() in ("null", "none"):
             return None
         return v
