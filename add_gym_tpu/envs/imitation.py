@@ -300,9 +300,11 @@ class ImitationEnv:
         """Fused train-rollout step: step + reset_where + both obs passes.
 
         Semantically identical to ``step`` -> ``reset_where`` ->
-        ``compute_obs`` with the same key (pinned bitwise by
-        tests/test_env.py::test_rollout_step_matches_plain_path), but
-        op-count-optimized for the scan hot path:
+        ``compute_obs`` with the same key: same RNG stream, exactly equal
+        done flags, values equal to 1e-5 (compiled-vs-compiled — XLA may
+        reassociate f32 reductions differently per graph; pinned by
+        tests/test_env.py::test_rollout_step_matches_plain_path).
+        Op-count-optimized for the scan hot path:
 
         * the six motion-table lookups per step (ref frame, tar obs, disc
           demo window, reset pose, reset history prefill, post-reset tar

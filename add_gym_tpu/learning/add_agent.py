@@ -259,8 +259,9 @@ class ADDAgent:
             action, _, a_logp, rand_mask = self._decide_action(
                 ts.params, ts.obs_norm, k_act, obs, train, exp_prob
             )
-            # fused step + masked reset + stacked obs pass (bitwise equal to
-            # step -> reset_where -> compute_obs; see ImitationEnv.rollout_step)
+            # fused step + masked reset + stacked obs pass (semantically
+            # equal to step -> reset_where -> compute_obs, same RNG stream;
+            # see ImitationEnv.rollout_step)
             env_state3, obs_after, step_out = env.rollout_step(
                 k_reset, env_state, action, ts.sampler
             )
