@@ -62,3 +62,55 @@ def test_different_seed_differs(setup):
     _, info_a = _run(env, agent, 7)
     _, info_b = _run(env, agent, 1234)
     assert float(info_a["mean_reward"]) != float(info_b["mean_reward"])
+
+
+@pytest.mark.slow
+def test_mesh_path_bitwise_identical():
+    """Repeat determinism holds on the multi-device path too: the explicit
+    DDP update (per-device folded shuffle streams, per-minibatch pmean) and
+    the env-sharded rollout introduce no run-to-run nondeterminism."""
+    from add_gym_tpu.parallel.mesh import (
+        make_mesh, replicate_tree, shard_env_tree,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device CPU mesh")
+    cfg = load_config("train")
+    N = 16
+    cfg["engine"]["num_envs"] = N
+    cfg["task"]["motion_file"] = "motions/walk1_subject1.motion"
+    cfg["agent"]["steps_per_iter"] = 4
+    cfg["agent"]["update_epochs"] = 1
+    cfg["agent"]["batch_size"] = 2
+    cfg["agent"]["actor_net"] = "fc_2layers_64units"
+    cfg["agent"]["critic_net"] = "fc_2layers_64units"
+    cfg["agent"]["disc_net"] = "fc_2layers_64units"
+    mesh = make_mesh(8)
+    env = build_env(cfg, mesh=mesh)
+    agent = build_agent(cfg, env)
+
+    def run():
+        ts = agent.init_train_state(jax.random.PRNGKey(100))
+        es = env.init_state(N)
+        es = env.reset_where(
+            jax.random.PRNGKey(7), es, jnp.ones(N, bool), ts.sampler
+        )
+        obs = env.compute_obs(es)
+        ts = replicate_tree(mesh, ts)
+        es = shard_env_tree(mesh, es)
+        obs = shard_env_tree(mesh, obs)
+        for i in range(2):
+            ts, es, obs, info = agent.train_iter(
+                ts, es, obs, jax.random.PRNGKey(8 + i)
+            )
+        return jax.device_get(ts), jax.device_get(info)
+
+    ts_a, info_a = run()
+    ts_b, info_b = run()
+    for k in info_a:
+        assert float(info_a[k]) == float(info_b[k]), k
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts_a.params),
+        jax.tree_util.tree_leaves(ts_b.params),
+    ):
+        np.testing.assert_array_equal(a, b)
