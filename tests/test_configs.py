@@ -39,6 +39,17 @@ def test_overrides_apply():
     assert cfg["agent"]["batch_size"] == 2
 
 
+def test_override_yaml11_booleans():
+    """Dotted overrides parse YAML 1.1 booleans: ``engine.fused=off`` must
+    be False, not bool("off") == True."""
+    for word, want in (
+        ("on", True), ("yes", True), ("True", True),
+        ("off", False), ("no", False), ("false", False),
+    ):
+        cfg = load_config("train", [f"engine.fused={word}"])
+        assert cfg["engine"]["fused"] is want, word
+
+
 def test_pallas_override_strings():
     """CLI overrides arrive as strings: ``engine.pallas=off`` must disable
     the kernel (``bool("off")`` is True — the builder parses explicitly)."""
