@@ -394,10 +394,13 @@ def _substep_core(
     """
     nb = fc.nb
     nd = fc.model.nd
-    N = root_pos.shape[-1]
+    # env axis: either 1-D [..., N] (XLA fused path) or 2-D [..., S, L]
+    # (Pallas sublane-tiled layout, physics/pallas_step.py) — every op
+    # below is elementwise/broadcast over the trailing env dims
+    eshape = root_pos.shape[1:]
     f32 = root_pos.dtype
 
-    cos = jnp.cos(q)                       # [nd, N]
+    cos = jnp.cos(q)                       # [nd, *eshape]
     sin = jnp.sin(q)
 
     # ---------------------------------------------------------- FK + vel
@@ -410,9 +413,9 @@ def _substep_core(
     # scatters entirely (keeps the math Pallas/Mosaic-compatible and lets
     # XLA fuse the contact chain into the FK chain)
     k_all, b_all, stick_all = fc.contact_gains(params, float(dt))
-    zero3 = jnp.zeros((3, N), f32)
-    zero1 = jnp.zeros((N,), f32)
-    one = jnp.ones((N,), f32)
+    zero3 = jnp.zeros((3,) + eshape, f32)
+    zero1 = jnp.zeros(eshape, f32)
+    one = jnp.ones(eshape, f32)
     n_w: List = [zero3] * nb                 # world torque about origin
     f_w: List = [zero3] * nb
     contact_l: List = [zero1] * nb

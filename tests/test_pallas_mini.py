@@ -165,3 +165,40 @@ def test_mini_sharded_per_env_params_parity(mini):
     )(params_sh, s_sh, tgt_sh)
     _assert_state_close(s_ref, s_out)
     np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_out), atol=1e-3)
+
+
+def test_mini_kernel_env2d_layout_parity(mini):
+    """Sublane-tiled env layout ([rows, 8, N/8], pallas_step env2d) ==
+    the 1-D layout == the fused XLA path.
+
+    The 2-D fold is the production layout at training scale (auto-on for
+    1024-multiples of envs; 4.6x measured on v5e — the 1-D layout runs
+    every per-env scalar row at 1/8 VPU occupancy).  The fold must be a
+    pure relabeling of the env axis.
+    """
+    model, fc = mini
+    params, s, tgt = _inputs(model)   # N=16 -> folds to [rows, 8, 2]
+    s_f, c_f = jax.jit(lambda p, s, t: fused_step(fc, p, s, t))(params, s, tgt)
+    s_p, c_p = jax.jit(
+        lambda p, s, t: pallas_step(fc, p, s, t, interpret=True, env2d=True)
+    )(params, s, tgt)
+    _assert_state_close(s_f, s_p)
+    np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_p), atol=1e-3)
+
+
+def test_mini_kernel_env2d_mass_scale(mini):
+    """Per-env mass DR through the 2-D layout (the [1, 8, L] ms block)."""
+    model, fc = mini
+    params, s, tgt = _inputs(model)
+    ms = jnp.linspace(0.7, 1.3, N)
+    params = replace(params, mass_scale=ms)
+    s_1d, c_1d = jax.jit(
+        lambda p, s, t: pallas_step(fc, p, s, t, interpret=True, env2d=False)
+    )(params, s, tgt)
+    s_2d, c_2d = jax.jit(
+        lambda p, s, t: pallas_step(fc, p, s, t, interpret=True, env2d=True)
+    )(params, s, tgt)
+    _assert_state_close(s_1d, s_2d)
+    np.testing.assert_allclose(
+        np.asarray(c_1d), np.asarray(c_2d), rtol=1e-4, atol=1e-3
+    )

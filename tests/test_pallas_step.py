@@ -85,3 +85,35 @@ def test_pallas_slew_limit(model, steppers):
     tgt = jnp.full((N, model.nd), 10.0)
     s1, _ = pallas(params, s, tgt)
     assert float(jnp.abs(s1.pd_target).max()) <= 0.5 + 1e-5
+
+
+def test_pallas_env2d_matches_1d(model, steppers):
+    """Sublane-tiled 2-D env layout == 1-D layout on the full G1 model.
+
+    This is the production layout at training scale (env2d auto-on for
+    1024-multiple env counts; 4.6x measured on v5e).  At N=128 the fold
+    is [rows, 8, 16] — partial lane tiles, but the same kernel body and
+    reshapes as the 4096-env training shape.
+    """
+    _, pallas = steppers
+    fc = FusedModelConstants(model)
+    kp, kv = reference_gains(model, scale=3.0)
+    params = eng.EngineParams(kp=kp, kv=kv, substeps=1 if not _ON_TPU else 4)
+    s = standing_state(model, n=N)
+    key = jax.random.PRNGKey(0)
+    s = replace(s, dof_vel=0.3 * jax.random.normal(key, s.dof_vel.shape))
+    tgt = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (N, model.nd))
+
+    s_1d, c_1d = pallas(params, s, tgt)
+    s_2d, c_2d = jax.jit(
+        lambda p, st, t: pallas_step(
+            fc, p, st, t, interpret=not _ON_TPU, env2d=True
+        )
+    )(params, s, tgt)
+    for name in ("root_pos", "root_quat", "root_vel", "root_ang_vel",
+                 "dof_pos", "dof_vel", "pd_target"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_1d, name)), np.asarray(getattr(s_2d, name)),
+            atol=1e-5, err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(c_1d), np.asarray(c_2d), atol=1e-3)
