@@ -530,19 +530,36 @@ class ADDAgent:
         M = flat["a_logp"].shape[0]
         mb_size = M // num_batches
 
+        # Permute BLOCKS of 8 contiguous rows, not rows (measured, round 3,
+        # tools/profile_gathers.py on v5e at the 131072x8 shape): single-row
+        # gathers move one (1, D) sliver per index and ran at ~52 GB/s
+        # effective; 8-row blocks are whole sublane tiles and cut the 40
+        # minibatch gathers from 26.1 -> 9.7 ms/update. Each 16384-sample
+        # minibatch still mixes 2048 randomly drawn blocks, and a block is 8
+        # adjacent envs at one timestep — independent episodes — so the
+        # shuffle remains an unbiased without-replacement partition. (A
+        # pre-gathered whole-buffer shuffle per epoch was also measured: ~4
+        # ms SLOWER than row gathers — the materialized shuffle is an extra
+        # HBM round trip.)
+        B = 8 if (M % num_batches == 0 and mb_size % 8 == 0) else 1
+        if B > 1:
+            flat = {
+                k: v.reshape((M // B, B) + v.shape[1:]) for k, v in flat.items()
+            }
+        nblk = M // B
+        mb_blk = mb_size // B
+
         def epoch_fn(carry, key_e):
             params, opt_state = carry
-            perm = jax.random.permutation(key_e, M)
-            # NOTE (measured, round 3): pre-gathering the whole shuffled
-            # buffer per epoch (scan over leading axis) is ~4 ms/update
-            # SLOWER than per-minibatch row gathers — the materialized
-            # shuffle costs an extra HBM round trip, while the row gather
-            # feeds its consumers directly.
-            idx = perm[: num_batches * mb_size].reshape(num_batches, mb_size)
+            perm = jax.random.permutation(key_e, nblk)
+            idx = perm[: num_batches * mb_blk].reshape(num_batches, mb_blk)
 
             def mb_fn(carry, mb_idx):
                 params, opt_state = carry
-                batch = {k: v[mb_idx] for k, v in flat.items()}
+                batch = {
+                    k: v[mb_idx].reshape((mb_size,) + v.shape[2:])
+                    for k, v in flat.items()
+                } if B > 1 else {k: v[mb_idx] for k, v in flat.items()}
                 (loss, info), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, batch)

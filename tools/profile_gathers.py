@@ -11,6 +11,11 @@ candidate reformulations with the exact shapes/dtypes update_model uses:
   packed        one bf16 [M, 264] + one f32 [M, 148] buffer (2 gathers)
   packed_sorted packed + sorted indices
   iota          contiguous slices, no shuffle (lower bound)
+  blockB        permute blocks of B contiguous rows instead of rows (B=8:
+                one sublane tile per block; each 16384-sample minibatch
+                still mixes 2048 random blocks) — gathers become
+                contiguous-chunk DMAs
+  blockB_packed block permutation + the 2-buffer packing
 
 Usage: python tools/profile_gathers.py [num_envs]
 """
@@ -110,12 +115,47 @@ def main():
         c, _ = jax.lax.scan(epoch, jnp.zeros(()), jax.random.split(k, epochs))
         return c
 
+    def run_block(k, B, packed):
+        nblk = M // B
+        mb_blk = mb // B
+        fb = {
+            kk: v.reshape((nblk, B) + v.shape[1:]) for kk, v in flat.items()
+        }
+        pb = packed_f32.reshape(nblk, B, packed_f32.shape[1])
+        ob = flat["norm_obs"].reshape(nblk, B, obs_dim)
+
+        def epoch(c, ke):
+            perm = jax.random.permutation(ke, nblk)
+            idx = perm.reshape(nb, mb_blk)
+
+            def mb_fn(c, mi):
+                if packed:
+                    a = ob[mi]
+                    b = pb[mi]
+                    s = jnp.sum(a.astype(jnp.float32)) + jnp.sum(b)
+                else:
+                    s = sum(
+                        jnp.sum(v[mi].astype(jnp.float32))
+                        for v in fb.values()
+                    )
+                return c + s, None
+
+            c, _ = jax.lax.scan(mb_fn, c, idx)
+            return c, None
+
+        c, _ = jax.lax.scan(epoch, jnp.zeros(()), jax.random.split(k, epochs))
+        return c
+
     timeit("perms_only", jax.jit(perms_only), key)
     timeit("base", jax.jit(lambda k: run(k, False, False)), key)
     timeit("sorted_mb", jax.jit(lambda k: run(k, True, False)), key)
     timeit("packed", jax.jit(lambda k: run(k, False, True)), key)
     timeit("packed_sorted", jax.jit(lambda k: run(k, True, True)), key)
     timeit("iota", jax.jit(lambda k: run(k, False, False, shuffle=False)), key)
+    for B in (8, 32, 128):
+        timeit(f"block{B}", jax.jit(lambda k, B=B: run_block(k, B, False)), key)
+        timeit(f"block{B}_packed",
+               jax.jit(lambda k, B=B: run_block(k, B, True)), key)
     print("done")
 
 
