@@ -518,9 +518,11 @@ class ADDAgent:
     # --------------------------------------------------------------- update
 
     def _epoch_scan(self, params, opt_state, flat, key, num_batches,
-                    axis=None):
+                    env_count, axis=None):
         """Epoch/minibatch scan over a flat [M, ...] buffer.
 
+        ``env_count`` is the (local) number of envs N behind the time-major
+        flat layout (row index = t*N + n); it gates the block shuffle below.
         ``axis`` set = this runs per-device inside shard_map: the buffer is
         the device's LOCAL shard, and gradients/metrics are averaged across
         devices per minibatch (the reference's DDP all-reduce,
@@ -535,13 +537,18 @@ class ADDAgent:
         # gathers move one (1, D) sliver per index and ran at ~52 GB/s
         # effective; 8-row blocks are whole sublane tiles and cut the 40
         # minibatch gathers from 26.1 -> 9.7 ms/update. Each 16384-sample
-        # minibatch still mixes 2048 randomly drawn blocks, and a block is 8
-        # adjacent envs at one timestep — independent episodes — so the
-        # shuffle remains an unbiased without-replacement partition. (A
-        # pre-gathered whole-buffer shuffle per epoch was also measured: ~4
-        # ms SLOWER than row gathers — the materialized shuffle is an extra
-        # HBM round trip.)
-        B = 8 if (M % num_batches == 0 and mb_size % 8 == 0) else 1
+        # minibatch still mixes 2048 randomly drawn blocks. The shuffle stays
+        # an unbiased without-replacement partition over independent samples
+        # only if a block is '8 adjacent envs at one timestep' (independent
+        # episodes), which with time-major rows (t*N+n) requires N % 8 == 0 —
+        # otherwise blocks straddle timesteps of the SAME envs (correlated)
+        # and we fall back to per-row permutation. (A pre-gathered
+        # whole-buffer shuffle per epoch was also measured: ~4 ms SLOWER
+        # than row gathers — the materialized shuffle is an extra HBM round
+        # trip.)
+        B = 8 if (
+            M % num_batches == 0 and mb_size % 8 == 0 and env_count % 8 == 0
+        ) else 1
         if B > 1:
             flat = {
                 k: v.reshape((M // B, B) + v.shape[1:]) for k, v in flat.items()
@@ -614,7 +621,7 @@ class ADDAgent:
                 k: v.reshape((T * N,) + v.shape[2:]) for k, v in cols.items()
             }
             (params, opt_state), infos = self._epoch_scan(
-                ts.params, ts.opt_state, flat, key, num_batches
+                ts.params, ts.opt_state, flat, key, num_batches, N
             )
         else:
             from jax.sharding import PartitionSpec as P
@@ -629,7 +636,7 @@ class ADDAgent:
                 # ExperienceBuffer permutation)
                 key = jax.random.fold_in(key, jax.lax.axis_index("env"))
                 return self._epoch_scan(
-                    params, opt_state, flat, key, num_batches, axis="env"
+                    params, opt_state, flat, key, num_batches, Nl, axis="env"
                 )
 
             (params, opt_state), infos = jax.shard_map(

@@ -153,6 +153,14 @@ def main():
     timeit("packed_sorted", jax.jit(lambda k: run(k, True, True)), key)
     timeit("iota", jax.jit(lambda k: run(k, False, False, shuffle=False)), key)
     for B in (8, 32, 128):
+        # a block must be 'B adjacent envs at one timestep' to match the
+        # agent's layout (time-major rows t*N+n), and the block count must
+        # tile exactly into minibatches — otherwise the measurement is
+        # unrepresentative (or the reshape below just fails)
+        if mb % B != 0 or N % B != 0:
+            print(f"block{B}: skipped (requires mb % B == 0 and N % B == 0; "
+                  f"mb={mb}, N={N})")
+            continue
         timeit(f"block{B}", jax.jit(lambda k, B=B: run_block(k, B, False)), key)
         timeit(f"block{B}_packed",
                jax.jit(lambda k, B=B: run_block(k, B, True)), key)
