@@ -119,8 +119,9 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
     # physics backend selection: "auto" uses the Pallas megakernel on TPU
     # (single chip directly; multi-device via the shard_map wrapper,
     # tests/test_pallas_mini.py) and the XLA fused path everywhere else.
-    # Per-device env counts must be 128-multiples (pallas_step.pick_block);
-    # mass-style DR needs per-env params and takes the fused path.
+    # Per-device env counts must be 128-multiples (pallas_step.pick_block).
+    # DR params (incl. per-env mass_scale) ride into the kernel as [.., N]
+    # inputs (pallas_step use_ms), so DR does NOT exclude the kernel.
     num_envs = int(engine_cfg.get("num_envs", 256))
     pallas_cfg = engine_cfg.get("pallas", "auto")
 

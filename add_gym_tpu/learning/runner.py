@@ -87,13 +87,20 @@ class Trainer:
             )
         self._key = key
 
+        # jitted reset-all (init + eval entry): eager per-op dispatch of the
+        # reset graph through a remote-TPU tunnel costs seconds
+        def _reset_all(k, es, sampler):
+            es = self.env.reset_where(
+                k, es, jnp.ones(self.num_envs, bool), sampler
+            )
+            return es, self.env.compute_obs(es)
+
+        self._reset_all = jax.jit(_reset_all)
+
         ts = self.agent.init_train_state()
         es = self.env.init_state(self.num_envs)
         k0 = self._next_key()
-        es = self.env.reset_where(
-            k0, es, jnp.ones(self.num_envs, bool), ts.sampler
-        )
-        obs = self.env.compute_obs(es)
+        es, obs = self._reset_all(k0, es, ts.sampler)
 
         if self.mesh is not None:
             ts = replicate_tree(self.mesh, ts)
@@ -355,15 +362,27 @@ class Trainer:
     def evaluate(self, num_episodes: int) -> Dict:
         """Greedy-policy evaluation.  Ref: base_agent.py:116-126,393-425.
 
-        Runs deterministic rollouts until every env has finished at least
-        ceil(num_episodes / num_envs) episodes (or an episode-length cap).
+        Resets ALL envs at entry (the reference's ``test_model`` calls
+        ``_reset_envs()`` with no ids, base_agent.py:399-403) so every
+        counted episode starts fresh — statistics are invariant to the
+        training state this interrupts — then rolls deterministically until
+        every env has finished at least ceil(num_episodes / num_envs)
+        episodes (or an episode-length cap).  Episodes still in progress at
+        the cap are dropped (``episode_stats`` flushes only at dones).  The
+        post-eval env state carries into the next train iteration, exactly
+        like the reference (train_model continues from post-test state,
+        base_agent.py:93-95).
         """
         min_eps = int(np.ceil(num_episodes / self.num_envs))
-        chunk = 256
-        max_steps = int(
+        max_ep_steps = int(
             self.env.task.max_episode_length / self.env.ctrl_dt
-        ) + chunk
-        es, obs = self.es, self.obs
+        )
+        # chunk sized to the episode cap: at small env counts a fixed 256
+        # would grossly overshoot short-episode evals
+        chunk = max(1, min(256, max_ep_steps))
+        max_steps = min_eps * max_ep_steps + chunk
+        k0 = self._next_key()
+        es, obs = self._reset_all(k0, self.es, self.ts.sampler)
 
         all_r, all_d = [], []
         eps_per_env = np.zeros(self.num_envs, np.int64)
