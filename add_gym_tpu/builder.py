@@ -136,16 +136,17 @@ def build_env(cfg: Dict, mesh=None) -> ImitationEnv:
         ),
         mass_range=tuple(dr_cfg.get("mass_range", (1.0, 1.0))),
     )
-    # general geom-geom narrowphase (physics/narrowphase.py GeomSet): the
-    # fused XLA path evaluates it as held per-control-step wrenches
-    # (fused_step.compute_np_ext); only the Pallas kernel is excluded (the
-    # vectorized pair tables are constant arrays, kernel-incompatible)
+    # general geom-geom narrowphase (physics/narrowphase.py GeomSet):
+    # evaluated as held per-control-step wrenches on every backend — the
+    # fused XLA path computes them inline (fused_step.compute_np_ext); the
+    # Pallas kernel takes them as an extra [6*n_touched, N] input
+    # (pallas_step np_rows), so general_narrowphase keeps the fastest
+    # physics path
     general_np = bool(engine_cfg.get("general_narrowphase", False))
     if general_np:
         from add_gym_tpu.physics.model import attach_geoms
 
         model = attach_geoms(model, mjcf)
-        pallas_cfg = False
 
     if pallas_cfg == "auto":
         ndev = jax.device_count()
@@ -218,6 +219,7 @@ def build_agent(cfg: Dict, env: ImitationEnv, key=None) -> ADDAgent:
         disc_net=a.get("disc_net", "fc_2layers_1024units"),
         actor_init_output_scale=float(a.get("actor_init_output_scale", 0.01)),
         mixed_precision=bool(a.get("mixed_precision", False)),
+        disc_mixed_precision=bool(a.get("disc_mixed_precision", False)),
     )
     if key is None:
         key = jax.random.PRNGKey(int(cfg.get("seed", 0)))

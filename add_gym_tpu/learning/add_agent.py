@@ -82,9 +82,17 @@ class AgentConfig:
     # bf16 actor/critic trunk matmuls with f32 master weights and f32
     # heads/losses.  Applied consistently in rollout, data build and update
     # so the behavior policy and its recorded log-probs stay bitwise
-    # consistent (epoch-0 PPO ratio == 1).  The discriminator stays f32
-    # (second-order grad penalty).  Parity evidence: docs/TRAINING.md.
+    # consistent (epoch-0 PPO ratio == 1).  Parity evidence:
+    # docs/TRAINING.md.
     mixed_precision: bool = False
+    # bf16 discriminator trunk matmuls (f32 master weights, f32 logit head
+    # and losses).  The grad penalty differentiates the SAME quantized
+    # function the BCE terms use (one disc, not two), with the input
+    # cotangent cast to f32 before the norm; the second-order penalty
+    # gradient flows back through the bf16 trunk.  Separate flag from
+    # mixed_precision so exact-f32 parity runs can disable each
+    # independently.  Parity evidence: docs/TRAINING.md.
+    disc_mixed_precision: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -179,12 +187,12 @@ class ADDAgent:
 
     # ------------------------------------------------------- mixed precision
 
-    def _cast_ac(self, params):
-        """bf16 copies of the actor/critic trunk params (heads stay f32,
-        so means/values come back at full precision from cheap f32 head
-        matmuls on bf16 hidden activations)."""
+    def _cast_trunks(self, params, names):
+        """bf16 copies of the named trunk params (heads stay f32, so
+        means/values/logits come back at full precision from cheap f32
+        head matmuls on bf16 hidden activations)."""
         p = dict(params["params"])
-        for k in ("actor_trunk", "critic_trunk"):
+        for k in names:
             if k in p:
                 p[k] = jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16), p[k]
@@ -200,12 +208,26 @@ class ADDAgent:
         update's epoch-0 recomputation exactly.
         """
         if self.cfg.mixed_precision:
-            params = self._cast_ac(params)
+            params = self._cast_trunks(params, ("actor_trunk", "critic_trunk"))
             norm_obs = norm_obs.astype(jnp.bfloat16)
         out = self.net.apply(params, norm_obs, method=method)
         return jax.tree_util.tree_map(
             lambda x: None if x is None else x.astype(jnp.float32), out,
             is_leaf=lambda x: x is None,
+        )
+
+    def _disc_apply(self, params, x):
+        """Discriminator forward at the configured precision (f32 logits).
+
+        All disc consumers (reward in the data build, BCE logits AND the
+        grad-penalty vjp in the loss) go through here, so
+        disc_mixed_precision quantizes ONE consistent discriminator.
+        """
+        if self.cfg.disc_mixed_precision:
+            params = self._cast_trunks(params, ("disc_trunk",))
+            x = x.astype(jnp.bfloat16)
+        return self.net.apply(params, x, method=ADDNet.disc).astype(
+            jnp.float32
         )
 
     # --------------------------------------------------------------- acting
@@ -295,7 +317,7 @@ class ADDAgent:
 
     def _disc_reward_from_input(self, params, disc_in):
         """Ref: add_agent.py:135-139 + amp_agent.py:194-206."""
-        logits = self.net.apply(params, disc_in, method=ADDNet.disc)
+        logits = self._disc_apply(params, disc_in)
         prob = jax.nn.sigmoid(logits)
         r = -jnp.log(jnp.maximum(1.0 - prob, 1e-4))
         return r * self.cfg.disc_reward_scale
@@ -468,7 +490,7 @@ class ADDAgent:
         cfg = self.cfg
 
         def disc_apply(x):
-            return self.net.apply(params, x, method=ADDNet.disc)
+            return self._disc_apply(params, x)
 
         if cfg.disc_mode == "amp":
             pos_input = batch["disc_pos"]
@@ -482,6 +504,10 @@ class ADDAgent:
             neg_logit, vjp_fn = jax.vjp(disc_apply, neg_input)
             grad_in = vjp_fn(jnp.ones_like(neg_logit))[0]
             pos_logit = disc_apply(pos_input)
+        # the penalty itself is f32 even when the disc trunk is bf16 (the
+        # input cotangent of the cast is already f32; this cast covers the
+        # case where the batch input arrives pre-cast to bf16)
+        grad_in = grad_in.astype(jnp.float32)
 
         disc_loss_pos = jnp.mean(
             optax.sigmoid_binary_cross_entropy(pos_logit, 0.9 * jnp.ones_like(pos_logit))
@@ -494,8 +520,15 @@ class ADDAgent:
         logit_w = params["params"]["disc_logit"]["kernel"]
         disc_loss += cfg.disc_logit_reg * jnp.sum(jnp.square(logit_w))
 
-        grad_norm = jnp.sqrt(jnp.sum(jnp.square(grad_in), axis=-1) + 1e-8)
-        grad_penalty = jnp.mean(jnp.square(grad_norm - 1.0))
+        if cfg.disc_mode == "amp":
+            # AMP penalizes the raw squared gradient magnitude on the demo
+            # input (zero-centered, no sqrt — amp_agent.py:131-142)
+            grad_penalty = jnp.mean(jnp.sum(jnp.square(grad_in), axis=-1))
+        else:
+            # ADD penalizes deviation of the gradient norm from 1 on the
+            # negative input (add_agent.py:165-178)
+            grad_norm = jnp.sqrt(jnp.sum(jnp.square(grad_in), axis=-1) + 1e-8)
+            grad_penalty = jnp.mean(jnp.square(grad_norm - 1.0))
         disc_loss += cfg.disc_grad_penalty * grad_penalty
 
         if cfg.disc_weight_decay != 0:
@@ -613,6 +646,12 @@ class ADDAgent:
         cols = {k: data[k] for k in keep if k in data}
         if cfg.mixed_precision:
             cols["norm_obs"] = cols["norm_obs"].astype(jnp.bfloat16)
+        if cfg.disc_mixed_precision:
+            # the disc consumes these in bf16 anyway (_disc_apply); casting
+            # before the minibatch gathers halves that gather traffic
+            for k in ("disc_in", "disc_pos"):
+                if k in cols:
+                    cols[k] = cols[k].astype(jnp.bfloat16)
         num_batches = int(np.ceil(T / cfg.batch_size))
         mesh = getattr(self.env, "mesh", None)
 

@@ -44,6 +44,8 @@ from add_gym_tpu.physics.fused_step import (
     _prep_params,
     _sc_forces_stacked,
     _substep_core,
+    compute_np_ext,
+    merge_ext,
 )
 
 DEFAULT_BLOCK = 512  # lanes per program (multiple of 128)
@@ -73,12 +75,23 @@ def _control_step_kernel(
     fc: FusedModelConstants,
     params: EngineParams,
     use_ms: bool,
+    np_bodies: tuple,
     *refs,
 ):
     (rp_ref, rq_ref, rv_ref, ra_ref, q_ref, qd_ref, prev_tgt_ref, cmd_ref,
      kp_ref, kv_ref, mu_ref, damp_ref, fric_ref, lo_ref, hi_ref) = refs[:15]
-    n_in = 16 if use_ms else 15
-    ms = refs[15][:][0] if use_ms else None        # [B] mass/inertia scale
+    n_in = 15
+    ms = None
+    if use_ms:
+        ms = refs[n_in][:][0]                      # [B] mass/inertia scale
+        n_in += 1
+    np_rows = None
+    if np_bodies:
+        # held narrowphase wrenches, 6 rows (torque 3 + force 3) per
+        # touched body, evaluated outside the kernel (compute_np_ext) and
+        # held constant for the control step — the mass_scale pattern
+        np_rows = refs[n_in][:]
+        n_in += 1
     (rp_o, rq_o, rv_o, ra_o, q_o, qd_o, tgt_o, contact_o) = refs[n_in:]
     dt = params.ctrl_dt / params.substeps
 
@@ -111,6 +124,12 @@ def _control_step_kernel(
             fc, rp, rq, rv, ra, qd, jnp.cos(q), jnp.sin(q)
         )
         sc_ext = _sc_forces_stacked(fc, params, dt, W, o, omega, vel)
+    if np_rows is not None:
+        np_ext = {
+            int(b): (np_rows[6 * j: 6 * j + 3], np_rows[6 * j + 3: 6 * j + 6])
+            for j, b in enumerate(np_bodies)
+        }
+        sc_ext = merge_ext(sc_ext, np_ext)
 
     contact = None
     for _ in range(params.substeps):
@@ -131,7 +150,8 @@ def _control_step_kernel(
 
 
 def _build_call(fc: FusedModelConstants, params: EngineParams, N: int, block: int,
-                interpret: bool = False, use_ms: bool = False):
+                interpret: bool = False, use_ms: bool = False,
+                np_bodies: tuple = ()):
     """1-D env layout: arrays [rows, N], grid over lane blocks of ``block``."""
     nd = fc.model.nd
     nb = fc.nb
@@ -150,6 +170,8 @@ def _build_call(fc: FusedModelConstants, params: EngineParams, N: int, block: in
     ]
     if use_ms:
         in_specs.append(spec(1))                   # [1, N] mass scale
+    if np_bodies:
+        in_specs.append(spec(6 * len(np_bodies)))  # held narrowphase wrenches
     out_specs = (
         spec(3), spec(4), spec(3), spec(3), spec(nd), spec(nd), spec(nd),
         spec(nb),
@@ -159,7 +181,7 @@ def _build_call(fc: FusedModelConstants, params: EngineParams, N: int, block: in
         for r in (3, 4, 3, 3, nd, nd, nd, nb)
     )
     return pl.pallas_call(
-        partial(_control_step_kernel, fc, params, use_ms),
+        partial(_control_step_kernel, fc, params, use_ms, np_bodies),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -174,7 +196,7 @@ LANE_BLOCK = 128      # lanes per program in the 2-D layout
 
 def _build_call_2d(fc: FusedModelConstants, params: EngineParams, N: int,
                    lane_block: int, interpret: bool = False,
-                   use_ms: bool = False):
+                   use_ms: bool = False, np_bodies: tuple = ()):
     """Sublane-tiled env layout: arrays [rows, 8, N/8].
 
     The 1-D layout maps a per-env scalar row to a (1, block) vector — one
@@ -204,6 +226,8 @@ def _build_call_2d(fc: FusedModelConstants, params: EngineParams, N: int,
     ]
     if use_ms:
         in_specs.append(spec(1))                   # [1, 8, N/8] mass scale
+    if np_bodies:
+        in_specs.append(spec(6 * len(np_bodies)))  # held narrowphase wrenches
     out_specs = (
         spec(3), spec(4), spec(3), spec(3), spec(nd), spec(nd), spec(nd),
         spec(nb),
@@ -213,7 +237,7 @@ def _build_call_2d(fc: FusedModelConstants, params: EngineParams, N: int,
         for r in (3, 4, 3, 3, nd, nd, nd, nb)
     )
     return pl.pallas_call(
-        partial(_control_step_kernel, fc, params, use_ms),
+        partial(_control_step_kernel, fc, params, use_ms, np_bodies),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -252,15 +276,25 @@ def pallas_step(
     # ms-free kernel (zero cost, the common non-DR case).
     msv = params.mass_scale
     use_ms = not (isinstance(msv, (int, float)) and float(msv) == 1.0)
-    # capsule/geom narrowphase tables are constant arrays evaluated by the
-    # fused XLA path (fused_step.compute_np_ext); silently dropping their
-    # contacts here would be wrong, so refuse loudly
-    assert fc.model.capsules is None or not fc.model.capsules.num_pairs, (
-        "capsule narrowphase unsupported in the Pallas kernel (use engine.fused)"
+    # capsule/geom narrowphase (ref capability: arbitrary contacts,
+    # mjwarp_engine.py:896-986): the pair tables are constant arrays the
+    # kernel cannot hold, so the wrenches are evaluated OUTSIDE the kernel
+    # by the fused XLA path (compute_np_ext, same source of truth as
+    # fused_step) on the pre-step state and enter as one extra
+    # [6 * n_touched, N] input, held constant across the substeps —
+    # exactly the fused path's held-wrench semantics and the mass_scale
+    # input pattern.  Parity: tests/test_narrowphase.py (kernel case).
+    np_ext = compute_np_ext(
+        fc, params, params.ctrl_dt / params.substeps, state
     )
-    assert fc.model.geoms is None or not fc.model.geoms.num_pairs, (
-        "general narrowphase unsupported in the Pallas kernel (use engine.fused)"
-    )
+    if np_ext is not None:
+        np_bodies = tuple(sorted(np_ext))
+        np_rows = jnp.concatenate(
+            [jnp.concatenate(np_ext[b], axis=0) for b in np_bodies], axis=0
+        )                                          # [6 * n_touched, N]
+    else:
+        np_bodies = ()
+        np_rows = None
     kp, kv, mu = _prep_params(fc, params)
     tables = _dof_tables(fc)
     # uniform [nd, N]/[1, N] blocks (broadcast host-side; tiny arrays)
@@ -280,12 +314,15 @@ def pallas_step(
             jnp.asarray(msv, jnp.float32), (N,)
         ).reshape(1, N)
         args.append(ms)
+    if np_rows is not None:
+        args.append(np_rows)
 
     if env2d:
         S = SUBLANES
         lane_block = min(LANE_BLOCK, N // S)
         call = _build_call_2d(fc, params, N, lane_block,
-                              interpret=interpret, use_ms=use_ms)
+                              interpret=interpret, use_ms=use_ms,
+                              np_bodies=np_bodies)
         args = [a.reshape(a.shape[0], S, N // S) for a in args]
         outs = call(*args)
         rp, rq, rv, ra, q, qd, tgt, contact = (
@@ -293,7 +330,7 @@ def pallas_step(
         )
     else:
         call = _build_call(fc, params, N, block, interpret=interpret,
-                           use_ms=use_ms)
+                           use_ms=use_ms, np_bodies=np_bodies)
         rp, rq, rv, ra, q, qd, tgt, contact = call(*args)
     new_state = SimState(
         root_pos=rp.T,

@@ -81,14 +81,28 @@ def main():
     assert t1.mesh is not None and t1.mesh.devices.size == 4 * num_processes
     t1.train(max_iters=2)
     samples_run1 = int(jax.device_get(t1.ts.sample_count))
+    ts_saved = jax.device_get(t1.ts)  # local copy of the state that was saved
 
     # every process must see the checkpoint before anyone resumes
     multihost_utils.sync_global_devices("ckpt_written")
 
-    # run 2: fresh Trainer auto-resumes from the experiment dir (all-load)
+    # run 2: fresh Trainer auto-resumes from the experiment dir (all-load).
+    # The reference's contract is EXACT resumption (main.py:92-105 +
+    # base_agent.py:148-208): the restored train state must be bitwise
+    # identical to the state run 1 saved — params, optimizer moments,
+    # normalizer statistics, sampler table, counters.
     t2 = Trainer(cfg)
     resumed_iter = t2.iter
     samples_resumed = int(jax.device_get(t2.ts.sample_count))
+    ts_resumed = jax.device_get(t2.ts)
+    saved_leaves = jax.tree_util.tree_leaves(ts_saved)
+    resumed_leaves = jax.tree_util.tree_leaves(ts_resumed)
+    assert len(saved_leaves) == len(resumed_leaves)
+    resume_bitwise = all(
+        a.dtype == b.dtype and a.shape == b.shape
+        and np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(saved_leaves, resumed_leaves)
+    )
     t2.train(max_iters=3)  # one more iteration on top of the resumed state
 
     # the replicated params must be bitwise identical across processes —
@@ -106,6 +120,7 @@ def main():
         samples_resumed=samples_resumed,
         samples_final=int(jax.device_get(t2.ts.sample_count)),
         params_hash=h,
+        resume_bitwise=resume_bitwise,
     )
     with open(os.path.join(outdir, f"result_{process_id}.json"), "w") as f:
         json.dump(result, f)

@@ -131,6 +131,20 @@ def test_mixed_precision_trains():
     assert abs(info["imp_ratio"] - 1.0) < 0.2
 
 
+def test_disc_mixed_precision_trains():
+    """bf16 disc trunk path (AgentConfig.disc_mixed_precision): finite
+    losses and a finite, small grad penalty (the second-order path flows
+    through the bf16 trunk)."""
+    cfg = _small_cfg("add_g1")
+    cfg["agent"]["mixed_precision"] = True
+    cfg["agent"]["disc_mixed_precision"] = True
+    agent, ts, info = _one_iter(cfg)
+    assert agent.cfg.disc_mixed_precision
+    assert np.isfinite(info["loss"])
+    assert np.isfinite(info["disc_loss"])
+    assert np.isfinite(info["disc_grad_penalty"])
+
+
 def test_fused_adam_optimizer_trains():
     """agent.optimizer=fused_adam builds and trains one finite iteration
     (numerical parity vs the optax chain is pinned in test_learning)."""

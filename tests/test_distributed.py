@@ -72,6 +72,10 @@ def test_two_process_train_ckpt_resume(tmp_path):
         assert r["samples_resumed"] == 64
         # one more iter after resume
         assert r["samples_final"] == 96
+        # exact-resumption contract (reference main.py:92-105): the
+        # restored TrainState is bitwise identical to the saved one on
+        # every process — params, opt moments, normalizers, sampler
+        assert r["resume_bitwise"] is True
     # replicated params stayed bitwise in sync across processes (grad
     # reductions are global; any divergence accumulates into the hash)
     assert results[0]["params_hash"] == results[1]["params_hash"]

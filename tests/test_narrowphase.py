@@ -400,10 +400,60 @@ def test_fused_geom_parity(g1_xml):
     np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c_soa), atol=5e-2)
 
 
+def test_pallas_geom_parity(g1_xml):
+    """The Pallas kernel consumes geom narrowphase as a held
+    [6*n_touched, N] wrench input evaluated outside the kernel
+    (pallas_step np_rows) — same held-wrench semantics as the fused path.
+    Pin kernel-vs-fused equivalence on a perturbed state with active
+    mesh-AABB pairs (interpret mode: plain-JAX evaluation of the kernel)."""
+    from dataclasses import replace
+
+    from add_gym_tpu.physics import engine as eng
+    from add_gym_tpu.physics.fused_step import FusedModelConstants, fused_step
+    from add_gym_tpu.physics.model import attach_geoms, build_physics_model
+    from add_gym_tpu.physics.pallas_step import pallas_step
+
+    from tests.test_physics import reference_gains, standing_state
+
+    model = attach_geoms(build_physics_model(g1_xml), g1_xml)
+    assert model.geoms.num_pairs > 0
+    fc = FusedModelConstants(model)
+    kp, kv = reference_gains(model, scale=3.0)
+    params = eng.EngineParams(kp=kp, kv=kv, self_collision=True)
+
+    n = 4
+    key = jax.random.PRNGKey(3)
+    s = standing_state(model, n=n)
+    s = replace(
+        s,
+        dof_pos=s.dof_pos + 0.2 * jax.random.normal(key, s.dof_pos.shape),
+        dof_vel=0.5 * jax.random.normal(jax.random.fold_in(key, 1),
+                                        s.dof_vel.shape),
+    )
+    tgt = s.dof_pos
+
+    soa_step = jax.jit(lambda p, st, t: fused_step(fc, p, st, t))
+    pal_step = jax.jit(
+        lambda p, st, t: pallas_step(fc, p, st, t, interpret=True)
+    )
+    s_soa, c_soa = s, None
+    s_pal, c_pal = s, None
+    for _ in range(3):
+        s_soa, c_soa = soa_step(params, s_soa, tgt)
+        s_pal, c_pal = pal_step(params, s_pal, tgt)
+    for name in ("root_pos", "root_quat", "root_vel", "root_ang_vel",
+                 "dof_pos", "dof_vel"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_soa, name)), np.asarray(getattr(s_pal, name)),
+            atol=5e-4, err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(c_soa), np.asarray(c_pal), atol=5e-2)
+
+
 def test_builder_general_narrowphase_flag():
     """engine.general_narrowphase=true routes through the builder: geoms
-    attached, the fused XLA path kept (it evaluates them held), only the
-    Pallas kernel excluded, and the env steps finite."""
+    attached, every backend (incl. the Pallas kernel via its held-wrench
+    input) stays available, and the env steps finite."""
     from add_gym_tpu.builder import build_env
     from add_gym_tpu.learning.sampler import init_sampler
     from add_gym_tpu.utils.config import load_config
