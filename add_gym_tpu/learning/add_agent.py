@@ -565,23 +565,22 @@ class ADDAgent:
         M = flat["a_logp"].shape[0]
         mb_size = M // num_batches
 
-        # Permute BLOCKS of 8 contiguous rows, not rows (measured, round 3,
+        # Permute BLOCKS of contiguous rows, not rows (measured, rounds 3-4,
         # tools/profile_gathers.py on v5e at the 131072x8 shape): single-row
         # gathers move one (1, D) sliver per index and ran at ~52 GB/s
-        # effective; 8-row blocks are whole sublane tiles and cut the 40
-        # minibatch gathers from 26.1 -> 9.7 ms/update. Each 16384-sample
-        # minibatch still mixes 2048 randomly drawn blocks. The shuffle stays
-        # an unbiased without-replacement partition over independent samples
-        # only if a block is '8 adjacent envs at one timestep' (independent
-        # episodes), which with time-major rows (t*N+n) requires N % 8 == 0 —
-        # otherwise blocks straddle timesteps of the SAME envs (correlated)
-        # and we fall back to per-row permutation. (A pre-gathered
+        # effective (26.1 ms/update); 8-row blocks are whole sublane tiles
+        # (9.7 ms) and 32-row blocks amortize the gather descriptor further
+        # (8.0 ms). Each 16384-sample minibatch still mixes 512 randomly
+        # drawn blocks. The shuffle stays an unbiased without-replacement
+        # partition over independent samples only if a block is 'B adjacent
+        # envs at one timestep' (independent episodes), which with
+        # time-major rows (t*N+n) requires N % B == 0 — otherwise blocks
+        # straddle timesteps of the SAME envs (correlated) and we fall back
+        # to smaller blocks / per-row permutation. (A pre-gathered
         # whole-buffer shuffle per epoch was also measured: ~4 ms SLOWER
         # than row gathers — the materialized shuffle is an extra HBM round
         # trip.)
-        B = 8 if (
-            M % num_batches == 0 and mb_size % 8 == 0 and env_count % 8 == 0
-        ) else 1
+        B = pick_shuffle_block(M, num_batches, mb_size, env_count)
         if B > 1:
             flat = {
                 k: v.reshape((M // B, B) + v.shape[1:]) for k, v in flat.items()
@@ -791,6 +790,21 @@ class ADDAgent:
             step_fn, (env_state, obs, key), None, length=num_steps
         )
         return env_state, obs, states
+
+
+def pick_shuffle_block(M, num_batches, mb_size, env_count) -> int:
+    """Largest valid minibatch-shuffle block size (see _epoch_scan).
+
+    A block of B contiguous time-major rows is 'B adjacent envs at one
+    timestep' (independent samples) only when env_count % B == 0, and
+    blocks must tile exactly into minibatches.  Candidates ordered by
+    measured v5e gather throughput (tools/profile_gathers.py).
+    """
+    if M % num_batches == 0:
+        for cand in (32, 8):
+            if mb_size % cand == 0 and env_count % cand == 0:
+                return cand
+    return 1
 
 
 def td_lambda_return(r, next_vals, done, discount, td_lambda):

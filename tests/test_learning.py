@@ -108,6 +108,21 @@ def test_gaussian_diag_log_prob():
     np.testing.assert_allclose(ent, expect_ent, rtol=1e-5)
 
 
+def test_pick_shuffle_block():
+    """Block-shuffle gate: blocks must be 'B adjacent envs at one
+    timestep' (env_count % B == 0) and tile into minibatches exactly."""
+    from add_gym_tpu.learning.add_agent import pick_shuffle_block
+
+    # flagship shape: 32 steps x 4096 envs, 8 minibatches of 16384
+    assert pick_shuffle_block(131072, 8, 16384, 4096) == 32
+    # env counts divisible by 8 but not 32 fall back to 8
+    assert pick_shuffle_block(32 * 40, 8, 160, 40) == 8
+    # parity_cpu4 (N=4): blocks would straddle timesteps -> per-row
+    assert pick_shuffle_block(128, 8, 16, 4) == 1
+    # non-tiling minibatch -> per-row
+    assert pick_shuffle_block(100, 3, 33, 4096) == 1
+
+
 def test_train_iter_smoke():
     """Tiny end-to-end training iteration: finite losses, counters advance."""
     from add_gym_tpu.builder import build_env, build_agent
