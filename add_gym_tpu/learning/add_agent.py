@@ -157,6 +157,30 @@ class ADDAgent:
             )
         self._key = key
 
+    def alternate_opt_templates(self, params):
+        """Opt-state templates for the OTHER adam-family optimizer configs.
+
+        Checkpoint migration (Trainer.load): the "adam" optax chain and
+        "fused_adam" carry the same moments in different tree shapes, so a
+        checkpoint saved under one must restore under the other.  Returns
+        [(name, template_opt_state), ...] excluding the active config.
+        """
+        from add_gym_tpu.learning.optim import fused_clip_adam
+
+        cfg = self.cfg
+        candidates = {
+            "adam": optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip),
+                optax.adamw(cfg.learning_rate, weight_decay=0.0),
+            ),
+            "fused_adam": fused_clip_adam(cfg.learning_rate, clip=cfg.grad_clip),
+        }
+        return [
+            (name, opt.init(params))
+            for name, opt in candidates.items()
+            if name != cfg.optimizer
+        ]
+
     # ------------------------------------------------------------------ init
 
     def init_train_state(self, key=None) -> TrainState:

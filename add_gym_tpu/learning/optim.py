@@ -74,3 +74,48 @@ def fused_clip_adam(
         return updates, FusedAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
+
+
+# ----------------------------------------------------- checkpoint migration
+#
+# The adam moments map 1:1 between the optax chain's ScaleByAdamState and
+# FusedAdamState, so checkpoints saved under either optimizer config load
+# under the other (Trainer.load migrates on structure mismatch).
+
+
+def extract_adam_moments(opt_state):
+    """(count, mu, nu) from a FusedAdamState or any optax chain whose tree
+    contains exactly one adam-moment state (ScaleByAdamState)."""
+    found = []
+
+    def walk(x):
+        if hasattr(x, "count") and hasattr(x, "mu") and hasattr(x, "nu"):
+            found.append(x)
+        elif isinstance(x, (tuple, list)):
+            for y in x:
+                walk(y)
+
+    walk(opt_state)
+    if len(found) != 1:
+        raise ValueError(
+            f"cannot locate adam moments in opt_state "
+            f"({len(found)} candidate states); not an adam-family optimizer"
+        )
+    s = found[0]
+    return s.count, s.mu, s.nu
+
+
+def inject_adam_moments(template, count, mu, nu):
+    """A copy of ``template`` (an opt_state) with its adam moments replaced."""
+
+    def walk(x):
+        if hasattr(x, "count") and hasattr(x, "mu") and hasattr(x, "nu"):
+            return x._replace(count=count, mu=mu, nu=nu)
+        if isinstance(x, tuple) and not hasattr(x, "_fields"):
+            return tuple(walk(y) for y in x)
+        return x
+
+    out = walk(template)
+    # verify the replacement actually landed (e.g. sgd has no moments)
+    extract_adam_moments(out)
+    return out

@@ -154,12 +154,62 @@ class Trainer:
 
         ckpter = ocp.StandardCheckpointer()
         target = {"train_state": jax.device_get(self.ts), "iter": 0}
-        payload = ckpter.restore(path, target=target)
+        try:
+            payload = ckpter.restore(path, target=target)
+        except Exception as primary_err:
+            payload = self._restore_migrating_opt_state(
+                ckpter, path, target, primary_err
+            )
         ts = payload["train_state"]
         if self.mesh is not None:
             ts = replicate_tree(self.mesh, ts)
         self.ts = ts
         self.iter = int(payload["iter"])
+
+    def _restore_migrating_opt_state(self, ckpter, path, target, primary_err):
+        """Restore a checkpoint saved under a different optimizer config.
+
+        The adam-family optimizers ("adam" optax chain vs "fused_adam",
+        configs/agent/add_g1.yaml) carry identical moments in different
+        opt_state tree shapes; a checkpoint saved under one would otherwise
+        crash orbax's structure match when loaded under the other (spot
+        auto-resume after a config change, or resume_path of an older
+        flagship checkpoint).  Retries the restore with each alternate
+        opt_state shape and converts the moments 1:1.
+        """
+        from dataclasses import replace as dc_replace
+
+        from add_gym_tpu.learning.optim import (
+            extract_adam_moments, inject_adam_moments,
+        )
+
+        ts_t = target["train_state"]
+        active_template = jax.device_get(self.agent.optimizer.init(ts_t.params))
+        for name, alt in self.agent.alternate_opt_templates(ts_t.params):
+            alt_target = {
+                "train_state": dc_replace(ts_t, opt_state=jax.device_get(alt)),
+                "iter": 0,
+            }
+            try:
+                payload = ckpter.restore(path, target=alt_target)
+            except Exception:
+                continue
+            restored = payload["train_state"]
+            migrated = inject_adam_moments(
+                active_template, *extract_adam_moments(restored.opt_state)
+            )
+            print(
+                f"Migrated checkpoint opt_state from '{name}' to "
+                f"'{self.agent.cfg.optimizer}' (adam moments mapped 1:1)"
+            )
+            payload["train_state"] = dc_replace(restored, opt_state=migrated)
+            return payload
+        raise ValueError(
+            f"checkpoint at {path} does not match the configured optimizer "
+            f"'{self.agent.cfg.optimizer}' and no adam-family migration "
+            f"applies; set agent.optimizer to the config the checkpoint was "
+            f"saved with (original error: {primary_err})"
+        ) from primary_err
 
     def _maybe_resume(self):
         """Auto-resume for spot restarts, else explicit resume_path.

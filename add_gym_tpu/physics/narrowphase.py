@@ -19,10 +19,16 @@ mass-proportional spring-damper as the engine's sphere-sphere
 self-collision (engine.self_collision_forces), so penetration depth stays
 mass-invariant and the stiffness respects the dt stability clamp.
 
-Supported on the reference-layout engine path (`engine.step`); the fused /
-Pallas hot paths intentionally exclude it (G1 imitation has no capsule
-pairs; enabling capsules is a per-task opt-in via
-``parse_capsules`` + ``PhysicsModel.capsules``).
+Backend coverage (round 4): the general :class:`GeomSet` tier runs on
+every backend — the reference-layout engine path evaluates it inline
+per substep, the fused XLA path computes held per-control-step wrenches
+(``fused_step.compute_np_ext``), and the Pallas megakernel takes the same
+held wrenches as an extra ``[6*n_touched, N]`` input (``pallas_step``
+``np_rows``; ``builder.py`` keeps the kernel selected when
+``general_narrowphase`` is on).  Only the legacy :class:`CapsuleSet` tier
+(``capsule_f_ext``) remains engine-path-only — it predates GeomSet and is
+kept for API stability; enabling it is a per-task opt-in via
+``parse_capsules`` + ``PhysicsModel.capsules``.
 """
 
 from __future__ import annotations

@@ -78,20 +78,32 @@ def main():
     orig_pick = agent_mod.pick_shuffle_block
 
     def force_block(B):
+        # the forced block must satisfy the same validity conditions the
+        # real gate checks (pick_shuffle_block): blocks tile minibatches
+        # exactly and are 'B adjacent envs at one timestep' — otherwise the
+        # sweep times a correlated (invalid) shuffle
+        mb_size = (T * N) // int(np.ceil(T / acfg.batch_size))
+        assert mb_size % B == 0 and N % B == 0, (
+            f"block {B} invalid for mb_size={mb_size} N={N}"
+        )
         agent_mod.pick_shuffle_block = lambda *a: B
 
     from dataclasses import replace as dc_replace
 
-    for opt_name in ("adam", "fused_adam"):
-        cfg_o = dict(cfg)
-        cfg_o["agent"] = dict(cfg["agent"], optimizer=opt_name)
-        ag = build_agent(cfg_o, env)
-        ts_o = dc_replace(ts, opt_state=ag.optimizer.init(ts.params))
-        for B in (32, 8, 1):
-            force_block(B)
-            upd = jax.jit(lambda t, d, k: ag.update_model(t, d, k)[0].params)
-            timeit(f"{opt_name} B={B}", upd, ts_o, data, k_upd)
-    agent_mod.pick_shuffle_block = orig_pick
+    try:
+        for opt_name in ("adam", "fused_adam"):
+            cfg_o = dict(cfg)
+            cfg_o["agent"] = dict(cfg["agent"], optimizer=opt_name)
+            ag = build_agent(cfg_o, env)
+            ts_o = dc_replace(ts, opt_state=ag.optimizer.init(ts.params))
+            for B in (32, 8, 1):
+                force_block(B)
+                upd = jax.jit(lambda t, d, k: ag.update_model(t, d, k)[0].params)
+                timeit(f"{opt_name} B={B}", upd, ts_o, data, k_upd)
+    finally:
+        # restore even on mid-sweep failure (OOM at one shape would
+        # otherwise leave the module global patched for the whole process)
+        agent_mod.pick_shuffle_block = orig_pick
     print("done")
 
 

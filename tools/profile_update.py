@@ -200,8 +200,47 @@ def main():
         return params
     timeit("grads_only_no_opt", jax.jit(upd_graddonly), ts, data, k_upd)
 
-    # 6. gathers only: same perm/gather structure, trivially consumed
+    # 6. gathers only: the REAL shuffle/gather structure (block permutation
+    #    via pick_shuffle_block, exactly what _epoch_scan does), trivially
+    #    consumed.  NOTE: an earlier revision of this ablation permuted
+    #    single rows (B=1) — that measured 66.66 ms (.runs/
+    #    profile_update_r4.log) and was NOT what the shipped update pays;
+    #    the mislabel is reconciled in .runs/profile_update_r5.log.
+    from add_gym_tpu.learning.add_agent import pick_shuffle_block
+
     def upd_gathers(d, k):
+        cfgl = agent.cfg
+        Tn, Nn = d["a_logp"].shape
+        keep = ("norm_obs", "norm_a", "a_logp", "tar_val", "adv",
+                "rand_mask", "disc_in")
+        flat = {kk: d[kk].reshape((Tn * Nn,) + d[kk].shape[2:]) for kk in keep}
+        M = Tn * Nn
+        nb = int(np.ceil(Tn / cfgl.batch_size))
+        mb = M // nb
+        B = pick_shuffle_block(M, nb, mb, Nn)
+        if B > 1:
+            flat = {kk: v.reshape((M // B, B) + v.shape[1:])
+                    for kk, v in flat.items()}
+        nblk, mb_blk = M // B, mb // B
+
+        def epoch_fn(carry, key_e):
+            perm = jax.random.permutation(key_e, nblk)
+            idx = perm[: nb * mb_blk].reshape(nb, mb_blk)
+
+            def mb_fn(c, mb_idx):
+                batch = {kk: v[mb_idx] for kk, v in flat.items()}
+                s = sum(jnp.sum(v.astype(jnp.float32)) for v in batch.values())
+                return c + s, 0.0
+            c, _ = jax.lax.scan(mb_fn, carry, idx)
+            return c, 0.0
+
+        keys = jax.random.split(k, cfgl.update_epochs)
+        c, _ = jax.lax.scan(epoch_fn, jnp.zeros(()), keys)
+        return c
+    timeit(f"gathers_only(real blocks)", jax.jit(upd_gathers), data, k_upd)
+
+    # 6b. gathers at B=1 (the old mislabeled variant, kept for comparison)
+    def upd_gathers_b1(d, k):
         cfgl = agent.cfg
         Tn, Nn = d["a_logp"].shape
         keep = ("norm_obs", "norm_a", "a_logp", "tar_val", "adv",
@@ -225,7 +264,7 @@ def main():
         keys = jax.random.split(k, cfgl.update_epochs)
         c, _ = jax.lax.scan(epoch_fn, jnp.zeros(()), keys)
         return c
-    timeit("gathers_only", jax.jit(upd_gathers), data, k_upd)
+    timeit("gathers_only(B=1 rows)", jax.jit(upd_gathers_b1), data, k_upd)
 
     # 7. pure matmul floor at the same shapes: the 3 trunks fwd+bwd per
     #    minibatch via value_and_grad of a dummy quadratic loss
