@@ -220,6 +220,7 @@ def build_agent(cfg: Dict, env: ImitationEnv, key=None) -> ADDAgent:
         actor_init_output_scale=float(a.get("actor_init_output_scale", 0.01)),
         mixed_precision=bool(a.get("mixed_precision", False)),
         disc_mixed_precision=bool(a.get("disc_mixed_precision", False)),
+        minibatch_blocks=a.get("minibatch_blocks", "auto"),
     )
     if key is None:
         key = jax.random.PRNGKey(int(cfg.get("seed", 0)))

@@ -296,33 +296,122 @@ class ImitationEnv:
         state = replace(state, done=done)
         return state, obs, disc_obs, disc_obs_demo, reward, done
 
+    def _window_offsets(self, dtype=jnp.float32):
+        """Time offsets of the motion-row window relative to the current
+        motion time: H history rows (oldest -> newest, newest = the
+        reference frame) followed by the K target-lookahead rows."""
+        H = self.task.num_disc_obs_steps
+        K = len(self.tar_steps) if self.task.enable_tar_obs else 0
+        dt = self.ctrl_dt
+        win_offs = -dt * jnp.arange(H - 1, -1, -1, dtype=dtype)
+        if K:
+            return jnp.concatenate(
+                [win_offs, dt * jnp.asarray(self.tar_steps, dtype)]
+            )
+        return win_offs
+
+    @property
+    def _aux_shiftable(self) -> bool:
+        """The incremental aux carry requires the window offsets to be a
+        consecutive dt grid (shift-by-one advances every row by exactly
+        one table frame).  True for the reference task config
+        (tar_obs_steps = 1..K, pose.yaml)."""
+        K = len(self.tar_steps) if self.task.enable_tar_obs else 0
+        return not K or bool(
+            np.array_equal(np.asarray(self.tar_steps), np.arange(1, K + 1))
+        )
+
+    def motion_aux(self, state: EnvState):
+        """Motion-row cache [N, H+K, R] aligned to the CURRENT motion time.
+
+        Row j holds the packed precomputed motion row
+        (``MotionLib.get_motion_rows``) at time ``mt + offsets[j]``.
+        Carried through the rollout scan and advanced by shift-plus-one-
+        gather per step (``rollout_step_cached``) — exact, because every
+        lookup still goes through the full clamp/WRAP logic when gathered,
+        and a row's value at an absolute motion time never changes.
+        """
+        mt = self.motion_times(state)
+        offs = self._window_offsets(mt.dtype)
+        times = mt[:, None] + offs[None, :]
+        ids = jnp.broadcast_to(state.motion_ids[:, None], times.shape)
+        return self.motion.get_motion_rows(ids, times)
+
     def rollout_step(self, key, state: EnvState, pd_target, sampler_state):
         """Fused train-rollout step: step + reset_where + both obs passes.
 
         Semantically identical to ``step`` -> ``reset_where`` ->
         ``compute_obs`` with the same key: same RNG stream, exactly equal
-        done flags, values equal to 1e-5 (compiled-vs-compiled — XLA may
-        reassociate f32 reductions differently per graph; pinned by
+        done flags, values equal up to compiled-vs-compiled f32
+        reassociation (pinned by
         tests/test_env.py::test_rollout_step_matches_plain_path).
-        Op-count-optimized for the scan hot path:
-
-        * the six motion-table lookups per step (ref frame, tar obs, disc
-          demo window, reset pose, reset history prefill, post-reset tar
-          obs) collapse into TWO fused gathers — the demo window's last
-          entry IS the reference frame, and the reset-side lookups share
-          one call;
-        * the two full observation passes (pre-reset ``next_obs`` for the
-          critic bootstrap + post-reset ``obs`` for the next action,
-          ref add_agent.py:204-233) evaluate as ONE stacked [2N] pass.
 
         Returns ``(state3, obs_after, out)`` where ``out`` carries the
         per-step rollout record (next_obs, disc obs, reward, done, ...).
+        """
+        N = state.time.shape[0]
+        if not self._aux_shiftable:
+            # non-consecutive tar_obs_steps: the incremental cache does
+            # not apply — compose the plain path (same RNG stream:
+            # reset_where performs the identical 3-way key split)
+            state2, next_obs, disc_obs, disc_obs_demo, reward, done = (
+                self.step(state, pd_target)
+            )
+            out = dict(
+                reward=reward, done=done, disc_obs=disc_obs,
+                disc_obs_demo=disc_obs_demo, motion_ids=state.motion_ids,
+                motion_times=self.motion_times(state2),
+                ep_time=state2.time, next_obs=next_obs,
+            )
+            reset = done != int(DoneFlags.NULL)
+            state3 = self.reset_where(key, state2, reset, sampler_state)
+            return state3, self.compute_obs(state3), out
+        k1, k2, k_dr = jax.random.split(key, 3)
+        ids_f = self.motion.sample_motions(k1, N)
+        times_f = self._sample_times(k2, ids_f, sampler_state)
+        dr = (
+            sample_dr(k_dr, self.dr, N) if self.dr.enabled
+            else init_dr_state(N)
+        )
+        aux = self.motion_aux(state)
+        state3, obs_after, _, out = self.rollout_step_cached(
+            state, pd_target, aux, ids_f, times_f, dr
+        )
+        return state3, obs_after, out
+
+    def rollout_step_cached(
+        self, state: EnvState, pd_target, aux, ids_f, times_f, dr
+    ):
+        """Presampled, aux-carried rollout step (the scan hot path).
+
+        Identical math to :meth:`rollout_step` with two structural
+        optimizations (tests/test_env.py::test_rollout_step_cached_*):
+
+        * **incremental motion window**: ``aux`` is the [N, H+K, R] packed
+          motion-row cache aligned to the pre-step motion time
+          (:meth:`motion_aux`); advancing one control step shifts it by
+          one row and gathers ONE fresh row per env — vs H+K rows per env
+          per step for the fresh gather (the rollout's dominant gather
+          traffic at 4096 envs, .runs/profile_rollout_r5.log variant C);
+        * **presampled resets**: ``ids_f``/``times_f``/``dr`` arrive from
+          a batched pre-scan draw instead of per-step key splits (one
+          large threefry call per rollout instead of 3T small ones).
+
+        The reset-side gather (fresh window + tar at the fresh times) is
+        ONE [N, H+K] packed gather whose rows double as the reset env's
+        fresh aux.  The two full observation passes (pre-reset
+        ``next_obs`` + post-reset ``obs``) evaluate as one stacked [N, 2]
+        pass.  Returns ``(state3, obs_after, aux3, out)``.
         """
         task = self.task
         N = state.time.shape[0]
         H = task.num_disc_obs_steps
         K = len(self.tar_steps) if task.enable_tar_obs else 0
         dt = self.ctrl_dt
+        assert self._aux_shiftable, (
+            "rollout_step_cached requires consecutive tar_obs_steps "
+            f"(got {tuple(self.tar_steps)})"
+        )
 
         # --- physics (identical to step) -------------------------------
         if self.dr.enabled and self.dr.action_latency_range[1] > 0:
@@ -336,19 +425,12 @@ class ImitationEnv:
         mt = time + state.motion_offsets
         ids = state.motion_ids
 
-        # --- fused gather A: disc window (last entry = ref frame) + tar
-        win_offs = -dt * jnp.arange(H - 1, -1, -1, dtype=mt.dtype)
-        if K:
-            offs = jnp.concatenate(
-                [win_offs, dt * jnp.asarray(self.tar_steps, mt.dtype)]
-            )
-        else:
-            offs = win_offs
-        timesA = mt[:, None] + offs[None, :]
-        idsA = jnp.broadcast_to(ids[:, None], timesA.shape)
-        rowsA = self.motion.get_motion_step(idsA, timesA)
-        win = tuple(x[:, :H] for x in rowsA)
-        ref = tuple(x[:, H - 1] for x in rowsA)
+        # --- advance the motion-row cache: shift + one fresh row -------
+        new_t = mt + (K * dt if K else 0.0)
+        new_row = self.motion.get_motion_rows(ids, new_t)      # [N, R]
+        aux_cur = jnp.concatenate([aux[:, 1:], new_row[:, None]], axis=1)
+        win = self.motion.split_rows(aux_cur[:, :H])
+        ref = self.motion.split_rows(aux_cur[:, H - 1])
 
         disc_obs = self._disc_obs_from_hist(state2)
         disc_obs_demo = obs_mod.compute_disc_obs(
@@ -372,8 +454,6 @@ class ImitationEnv:
             root_vel_scale=task.reward_root_vel_scale,
         )
 
-        from add_gym_tpu.motion.motion_file import LoopMode
-
         meta = self.motion.meta_all[ids]                  # [N, 7]
         done = compute_done(
             time, sim.root_pos, sim.dof_pos, ref[0], ref[4], body_contact,
@@ -393,40 +473,16 @@ class ImitationEnv:
             ep_time=time,
         )
 
-        # --- reset sampling (RNG stream identical to reset_where) ------
         reset = done != int(DoneFlags.NULL)
-        k1, k2, k_dr = jax.random.split(key, 3)
-        ids_f = self.motion.sample_motions(k1, N)
-        times_f = self._sample_times(k2, ids_f, sampler_state)
-        dr = (
-            sample_dr(k_dr, self.dr, N) if self.dr.enabled
-            else init_dr_state(N)
-        )
-
         ids3 = jnp.where(reset, ids_f, ids)
         mt3 = jnp.where(reset, times_f, mt)
 
-        # --- fused gather B: fresh window [N, H] + merged tar [N, K] ---
-        if K:
-            idsBC = jnp.concatenate(
-                [
-                    jnp.broadcast_to(ids_f[:, None], (N, H)),
-                    jnp.broadcast_to(ids3[:, None], (N, K)),
-                ],
-                axis=1,
-            )
-            timesBC = jnp.concatenate(
-                [
-                    times_f[:, None] + win_offs[None, :],
-                    mt3[:, None] + dt * jnp.asarray(self.tar_steps, mt.dtype)[None, :],
-                ],
-                axis=1,
-            )
-        else:
-            idsBC = jnp.broadcast_to(ids_f[:, None], (N, H))
-            timesBC = times_f[:, None] + win_offs[None, :]
-        rowsB = self.motion.get_motion_step(idsBC, timesBC)
-        hist_f = tuple(x[:, :H] for x in rowsB)
+        # --- reset-side gather: fresh window + fresh tar = fresh aux ---
+        offs = self._window_offsets(mt.dtype)
+        timesB = times_f[:, None] + offs[None, :]
+        idsB = jnp.broadcast_to(ids_f[:, None], timesB.shape)
+        rowsB = self.motion.get_motion_rows(idsB, timesB)  # [N, H+K, R]
+        hist_f = self.motion.split_rows(rowsB[:, :H])
 
         tgt_lo = jnp.asarray(self.model.dof_limit[:, 0], sim.dof_pos.dtype)
         tgt_hi = jnp.asarray(self.model.dof_limit[:, 1], sim.dof_pos.dtype)
@@ -457,6 +513,10 @@ class ImitationEnv:
             reset.reshape((N,) + (1,) * (new.ndim - 1)), new, old
         )
         state3 = jax.tree_util.tree_map(pick, fresh, state2)
+        # post-reset aux: reset envs take the fresh rows, others keep the
+        # advanced cache (rowsB's tar rows at the fresh times equal the
+        # merged (ids3, mt3) tar rows exactly where reset is True)
+        aux3 = jnp.where(reset[:, None, None], rowsB, aux_cur)
 
         # --- stacked obs pass [N, 2, ...]: next_obs (state2) + obs (state3).
         # Stacking on axis 1 (not 0) keeps the leading env axis intact so
@@ -468,9 +528,12 @@ class ImitationEnv:
         else:
             phase = jnp.zeros((N, 2), mt.dtype)
         if K:
-            tar_rp = stk(rowsA[0][:, H:], rowsB[0][:, H:])
-            tar_rr = stk(rowsA[1][:, H:], rowsB[1][:, H:])
-            tar_dp = stk(rowsA[4][:, H:], rowsB[4][:, H:])
+            tar_rp = stk(aux_cur[:, H:, 0:3], aux3[:, H:, 0:3])
+            tar_rr = stk(aux_cur[:, H:, 3:7], aux3[:, H:, 3:7])
+            D = self.model.nd
+            tar_dp = stk(
+                aux_cur[:, H:, 13:13 + D], aux3[:, H:, 13:13 + D]
+            )
         else:
             tar_rp = tar_rr = tar_dp = jnp.zeros((N, 2, 0, 0))
         obs2x = obs_mod.compute_add_obs(
@@ -489,7 +552,7 @@ class ImitationEnv:
             enable_tar_obs=task.enable_tar_obs,
         )
         out["next_obs"] = obs2x[:, 0]
-        return state3, obs2x[:, 1], out
+        return state3, obs2x[:, 1], aux3, out
 
     def _push_history(self, state: EnvState) -> EnvState:
         sim = state.sim

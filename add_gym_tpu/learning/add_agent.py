@@ -93,6 +93,17 @@ class AgentConfig:
     # mixed_precision so exact-f32 parity runs can disable each
     # independently.  Parity evidence: docs/TRAINING.md.
     disc_mixed_precision: bool = False
+    # minibatch shuffle granularity (see pick_shuffle_block):
+    #   "auto"     — permute 32/8/1-row blocks by divisibility (round 3-4
+    #                measured scheme)
+    #   "timestep" — permute whole timesteps (block = num_envs): minibatch
+    #                gathers become contiguous slab slices (~free on TPU).
+    #                Each minibatch = batch_size random timesteps x all
+    #                envs; samples within a timestep are independent
+    #                episodes, cross-timestep composition is a coarser
+    #                without-replacement partition than row shuffling
+    #                (learning A/B: docs/TRAINING.md round 5)
+    minibatch_blocks: str = "auto"
 
 
 @jax.tree_util.register_dataclass
@@ -156,6 +167,35 @@ class ADDAgent:
                 optax.clip_by_global_norm(cfg.grad_clip), opt
             )
         self._key = key
+
+    def net_params_by_trunk(self):
+        """Matmul parameter counts (sum of in*out per layer) per network.
+
+        Used by the bench floor arithmetic (bench.py / docs/SCALING.md):
+        matmul FLOPs per sample = 2x these counts forward, 4x backward.
+        """
+        from add_gym_tpu.learning.networks import NET_REGISTRY
+
+        obs_dim = self.env.obs_dim()
+        disc_dim = self.env.disc_obs_dim()
+        nd = self.env.num_dofs
+
+        def mm(in_dim, widths, out_dim):
+            tot, d = 0, in_dim
+            for w in widths:
+                tot += d * w
+                d = w
+            return tot + d * out_dim
+
+        cfg = self.cfg
+        return dict(
+            actor=mm(obs_dim, NET_REGISTRY[cfg.actor_net], nd),
+            critic=mm(obs_dim, NET_REGISTRY[cfg.critic_net], 1),
+            disc=(
+                mm(disc_dim, NET_REGISTRY[cfg.disc_net], 1)
+                if cfg.disc_mode != "none" else 0
+            ),
+        )
 
     def alternate_opt_templates(self, params):
         """Opt-state templates for the OTHER adam-family optimizer configs.
@@ -322,6 +362,124 @@ class ADDAgent:
         )
         return env_state, obs, traj
 
+    def rollout_lean(self, ts: TrainState, env_state: EnvState, obs, key,
+                     num_steps):
+        """Train rollout optimized for the hot path (train_iter only).
+
+        Same semantics as ``rollout(train=True)`` with three structural
+        changes (measured on v5e, .runs/profile_rollout_r5.log):
+
+        * **presampled RNG**: action noise, the rand-action bernoulli mask
+          and the reset draws (motion ids/start times/DR) are generated in
+          batched pre-scan calls and consumed as scan xs — the scan body
+          contains no threefry.  The RNG *stream* therefore differs from
+          ``rollout`` (same key -> different trajectory), which only
+          re-maps sample identities; the distributions are identical.
+        * **incremental motion aux** via ``env.rollout_step_cached``.
+        * **lean outputs**: records normalized obs at the update's
+          consumption dtype plus the normalized action, instead of raw
+          obs/next_obs/action; the obs normalizer statistics accumulate
+          in the scan carry (sum / sum-sq / count over the acting obs),
+          so the raw observation trajectory is never materialized.
+
+        Returns ``(env_state, obs, traj, obs_stats)`` where ``obs_stats``
+        = (count, sum[obs_dim], sum_sq[obs_dim]).
+        """
+        env = self.env
+        cfg = self.cfg
+        if not env._aux_shiftable:
+            # non-consecutive tar_obs_steps: no incremental aux — use the
+            # plain rollout and derive the obs stats from the trajectory
+            env_state, obs, traj = self.rollout(
+                ts, env_state, obs, key, num_steps, train=True
+            )
+            flat_obs = traj["obs"].reshape((-1, traj["obs"].shape[-1]))
+            obs_stats = (
+                jnp.float32(flat_obs.shape[0]),
+                jnp.sum(flat_obs, axis=0),
+                jnp.sum(jnp.square(flat_obs), axis=0),
+            )
+            return env_state, obs, traj, obs_stats
+        N = obs.shape[0]
+        nd = env.num_dofs
+        exp_prob = self._exp_prob(ts.sample_count)
+        out_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+
+        k_noise, k_bern, k_ids, k_times, k_dr = jax.random.split(key, 5)
+        noise = jax.random.normal(k_noise, (num_steps, N, nd))
+        bern = jax.random.bernoulli(
+            k_bern, exp_prob, (num_steps, N, 1)
+        ).astype(jnp.float32)
+        ids_f = env.motion.sample_motions(k_ids, num_steps * N).reshape(
+            num_steps, N
+        )
+        times_f = env._sample_times(
+            k_times, ids_f.reshape(-1), ts.sampler
+        ).reshape(num_steps, N)
+        if env.dr.enabled:
+            from add_gym_tpu.envs.domain_rand import sample_dr
+
+            dr_f = jax.tree_util.tree_map(
+                lambda x: x.reshape((num_steps, N) + x.shape[1:]),
+                sample_dr(k_dr, env.dr, num_steps * N),
+            )
+        else:
+            dr_f = None
+        aux0 = env.motion_aux(env_state)
+
+        def step_fn(carry, xs):
+            env_state, obs, aux, stats = carry
+            if dr_f is None:
+                from add_gym_tpu.envs.domain_rand import init_dr_state
+
+                noise_t, bern_t, ids_t, times_t = xs
+                dr_t = init_dr_state(N)
+            else:
+                noise_t, bern_t, ids_t, times_t, dr_t = xs
+
+            norm_obs = norm.normalize(ts.obs_norm, obs)
+            mean, logstd = self._ac_apply(ts.params, norm_obs, ADDNet.actor)
+            if logstd is None:  # std_type == "fixed"
+                logstd = jnp.full_like(mean, self.logstd)
+            a_rand = mean + jnp.exp(logstd) * noise_t
+            norm_a = jnp.where(bern_t == 1.0, a_rand, mean)
+            rand_mask = bern_t[:, 0]
+            a_logp = dist.log_prob(mean, logstd, norm_a)
+            action = norm_a * self.a_std + self.a_mean
+
+            stats = (
+                stats[0] + jnp.float32(N),
+                stats[1] + jnp.sum(obs, axis=0),
+                stats[2] + jnp.sum(jnp.square(obs), axis=0),
+            )
+
+            env_state3, obs_after, aux3, step_out = env.rollout_step_cached(
+                env_state, action, aux, ids_t, times_t, dr_t
+            )
+            next_obs = step_out.pop("next_obs")
+            out = dict(
+                norm_obs=norm_obs.astype(out_dtype),
+                norm_next=norm.normalize(ts.obs_norm, next_obs).astype(
+                    out_dtype
+                ),
+                norm_a=norm_a, a_logp=a_logp, rand_mask=rand_mask,
+                **step_out,
+            )
+            return (env_state3, obs_after, aux3, stats), out
+
+        stats0 = (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((obs.shape[-1],), jnp.float32),
+            jnp.zeros((obs.shape[-1],), jnp.float32),
+        )
+        xs = (noise, bern, ids_f, times_f)
+        if dr_f is not None:
+            xs = xs + (dr_f,)
+        (env_state, obs, _, obs_stats), traj = jax.lax.scan(
+            step_fn, (env_state, obs, aux0, stats0), xs, length=num_steps
+        )
+        return env_state, obs, traj, obs_stats
+
     # ---------------------------------------------------------- train data
 
     def _disc_inputs(self, disc_norm, disc_obs, disc_demo):
@@ -391,8 +549,15 @@ class ADDAgent:
         # next_obs) into one [T, N, 2, d] critic pass costs ~4 ms over two
         # separate passes on v5e — the stack materializes a 314 MB copy
         # that the two fused normalize->matmul passes never form.
-        norm_obs = norm.normalize(ts.obs_norm, traj["obs"])
-        norm_next = norm.normalize(ts.obs_norm, traj["next_obs"])
+        # Lean trajectories (rollout_lean) arrive pre-normalized at the
+        # update's consumption dtype; rich ones (rollout — eval/parity
+        # harness) carry raw obs.
+        if "norm_obs" in traj:
+            norm_obs = traj["norm_obs"]
+            norm_next = traj["norm_next"]
+        else:
+            norm_obs = norm.normalize(ts.obs_norm, traj["obs"])
+            norm_next = norm.normalize(ts.obs_norm, traj["next_obs"])
         vals = self._ac_apply(ts.params, norm_obs, ADDNet.critic)
         next_vals = self._ac_apply(ts.params, norm_next, ADDNet.critic)
         done = traj["done"]
@@ -418,7 +583,13 @@ class ADDAgent:
         # update): minibatches gather these directly, skipping per-batch
         # re-normalization and the gather of raw obs/next_obs/disc buffers
         data["norm_obs"] = norm_obs
-        data["norm_a"] = (traj["action"] - self.a_mean) / self.a_std
+        # lean trajectories record the normalized action directly (the
+        # value log_prob was computed on); rich ones round-trip through
+        # the action normalizer like the reference (ppo_agent.py:241)
+        data["norm_a"] = (
+            traj["norm_a"] if "norm_a" in traj
+            else (traj["action"] - self.a_mean) / self.a_std
+        )
         if disc_in is not None:
             data["disc_in"] = disc_in
         if disc_pos is not None:
@@ -604,7 +775,9 @@ class ADDAgent:
         # whole-buffer shuffle per epoch was also measured: ~4 ms SLOWER
         # than row gathers — the materialized shuffle is an extra HBM round
         # trip.)
-        B = pick_shuffle_block(M, num_batches, mb_size, env_count)
+        B = pick_shuffle_block(
+            M, num_batches, mb_size, env_count, cfg.minibatch_blocks
+        )
         if B > 1:
             flat = {
                 k: v.reshape((M // B, B) + v.shape[1:]) for k, v in flat.items()
@@ -718,15 +891,17 @@ class ADDAgent:
         """One full training iteration.  Ref: base_agent.py:353-374."""
         cfg = self.cfg
         k_roll, k_data, k_upd = jax.random.split(key, 3)
-        env_state, obs, traj = self.rollout(
-            ts, env_state, obs, k_roll, cfg.steps_per_iter, train=True
+        env_state, obs, traj, obs_stats = self.rollout_lean(
+            ts, env_state, obs, k_roll, cfg.steps_per_iter
         )
         ts, data, data_info = self.build_train_data(ts, traj, k_data)
         ts, train_info = self.update_model(ts, data, k_upd)
 
         # normalizer updates after the model update (base_agent.py:362-366)
         update_norm = ts.sample_count < cfg.normalizer_samples
-        new_obs_norm = norm.update_normalizer(ts.obs_norm, traj["obs"])
+        new_obs_norm = norm.update_normalizer_from_stats(
+            ts.obs_norm, *obs_stats
+        )
         if cfg.disc_mode == "amp":
             # running stats over both agent and demo disc obs (amp_agent.py)
             both = jnp.concatenate([data["disc_obs"], data["disc_obs_demo"]], axis=0)
@@ -816,14 +991,24 @@ class ADDAgent:
         return env_state, obs, states
 
 
-def pick_shuffle_block(M, num_batches, mb_size, env_count) -> int:
+def pick_shuffle_block(M, num_batches, mb_size, env_count,
+                       mode: str = "auto") -> int:
     """Largest valid minibatch-shuffle block size (see _epoch_scan).
 
-    A block of B contiguous time-major rows is 'B adjacent envs at one
-    timestep' (independent samples) only when env_count % B == 0, and
-    blocks must tile exactly into minibatches.  Candidates ordered by
+    "auto": a block of B contiguous time-major rows is 'B adjacent envs
+    at one timestep' (independent samples) only when env_count % B == 0,
+    and blocks must tile exactly into minibatches.  Candidates ordered by
     measured v5e gather throughput (tools/profile_gathers.py).
+
+    "timestep": block = env_count — each block is one whole timestep, so
+    minibatch assembly is batch_size contiguous slab slices instead of
+    row gathers.  Falls back to "auto" when timesteps don't tile exactly
+    into minibatches.
     """
+    if mode == "timestep":
+        if M % num_batches == 0 and mb_size % env_count == 0:
+            return env_count
+        mode = "auto"
     if M % num_batches == 0:
         for cand in (32, 8):
             if mb_size % cand == 0 and env_count % cand == 0:

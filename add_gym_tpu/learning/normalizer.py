@@ -82,6 +82,29 @@ def update_normalizer(state: NormState, batch) -> NormState:
     )
 
 
+def update_normalizer_from_stats(state: NormState, n_new, s, s_sq) -> NormState:
+    """Merge pre-accumulated batch statistics (count, sum, sum-of-squares).
+
+    Same merge as :func:`update_normalizer` given
+    ``n_new = count``, ``s = sum(batch, axis=0)``,
+    ``s_sq = sum(batch**2, axis=0)`` — used by the lean rollout, which
+    accumulates the acting-obs stats inside the scan instead of
+    materializing the raw observation trajectory (the reference records
+    obs into a buffer and sums once, normalizer.py:25-43; summation order
+    differs only by f32 reassociation).
+    """
+    n_new = jnp.asarray(n_new, jnp.float32)
+    total = state.count + n_new
+    w_old = state.count / total
+    return NormState(
+        count=total,
+        mean=w_old * state.mean + s / total,
+        mean_sq=w_old * state.mean_sq + s_sq / total,
+        min_std=state.min_std,
+        clip=state.clip,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class DiffNormState:

@@ -67,6 +67,62 @@ class MotionLib:
 
     # --------------------------------------------------------------- lookup
 
+    def get_motion_rows(self, motion_ids, motion_times):
+        """Packed precomputed row(s) [..., 13+2D] for (motion_id, time).
+
+        Same lookup semantics as :meth:`get_motion_step` but returns the
+        raw packed row ``[rp rr rv rav dp dv]`` with the WRAP loop offset
+        already applied to the root position — the cache format carried by
+        the rollout's incremental motion-window aux
+        (``ImitationEnv.rollout_step_cached``).
+        """
+        meta = self.meta_all[motion_ids]                  # [..., 7]
+        length, wrap_f = meta[..., 0], meta[..., 1]
+        max_frame = meta[..., 2]
+        wrap = wrap_f != 0.0
+        loops = jnp.floor(jnp.maximum(motion_times, 0.0) / length)
+        t = jnp.where(wrap, motion_times - loops * length, motion_times)
+
+        # Frame quantization: truncation with a +0.25-frame nudge.  The
+        # reference truncates exactly ((motion_times * dt_inv).long(),
+        # motion_lib.py:322-324); bare truncation is fragile here because
+        # lookup times are dt-grid-aligned by construction (sampling
+        # quantizes to dt, episode time advances by dt) and f32
+        # accumulation leaves them just BELOW the grid often enough that
+        # algebraically-equal time expressions (e.g. (t+dt)+k*dt vs
+        # t+(k+1)*dt) truncate to different frames — breaking the bitwise
+        # invariant between the fused rollout's incremental row cache and
+        # fresh gathers.  The nudge absorbs grid noise (measured worst
+        # case over a 20 s f32 accumulation: 0.046 frames — 5x margin)
+        # while preserving the reference's truncation for any genuinely
+        # off-grid time with fractional frame <= 0.75, which covers
+        # WRAP-clip wrapped times (30 fps / dt=0.01 gives fractional
+        # parts of exactly {0, 1/3, 2/3}).  Pinned by
+        # tests/test_env.py::test_rollout_step_cached_aux_invariant and
+        # test_reference_parity.py::test_motion_lib_tables_match.
+        frame = jnp.floor(t * self.dt_inv + 0.25)
+        frame = jnp.clip(frame, 0.0, max_frame)
+        idx = (frame + meta[..., 3]).astype(jnp.int32)
+
+        offset = jnp.where(
+            wrap[..., None], loops[..., None] * meta[..., 4:7], 0.0
+        )
+        row = self.step_all[idx]                          # [..., 13+2D]
+        return row.at[..., 0:3].add(offset)
+
+    @staticmethod
+    def split_rows(row):
+        """Packed row [..., 13+2D] -> (rp, rr, rv, rav, dp, dv)."""
+        D = (row.shape[-1] - 13) // 2
+        return (
+            row[..., 0:3],
+            row[..., 3:7],
+            row[..., 7:10],
+            row[..., 10:13],
+            row[..., 13:13 + D],
+            row[..., 13 + D:13 + 2 * D],
+        )
+
     def get_motion_step(self, motion_ids, motion_times):
         """Gather the precomputed step for (motion_id, time).
 
@@ -82,30 +138,7 @@ class MotionLib:
         returned fields carry that shape plus the field's trailing dims.
         Three gathers total: metadata [M, 7], step rows [S, 13+2D], slice.
         """
-        meta = self.meta_all[motion_ids]                  # [..., 7]
-        length, wrap_f = meta[..., 0], meta[..., 1]
-        max_frame = meta[..., 2]
-        wrap = wrap_f != 0.0
-        loops = jnp.floor(jnp.maximum(motion_times, 0.0) / length)
-        t = jnp.where(wrap, motion_times - loops * length, motion_times)
-
-        frame = jnp.floor(t * self.dt_inv)
-        frame = jnp.clip(frame, 0.0, max_frame)
-        idx = (frame + meta[..., 3]).astype(jnp.int32)
-
-        offset = jnp.where(
-            wrap[..., None], loops[..., None] * meta[..., 4:7], 0.0
-        )
-        row = self.step_all[idx]                          # [..., 13+2D]
-        D = (row.shape[-1] - 13) // 2
-        return (
-            row[..., 0:3] + offset,
-            row[..., 3:7],
-            row[..., 7:10],
-            row[..., 10:13],
-            row[..., 13:13 + D],
-            row[..., 13 + D:13 + 2 * D],
-        )
+        return self.split_rows(self.get_motion_rows(motion_ids, motion_times))
 
     def calc_motion_phase(self, motion_ids, times):
         """Ref: motion_lib.py:361-372."""

@@ -210,3 +210,102 @@ def test_rollout_step_matches_plain_path(env, sampler):
         np.asarray(es2.time + es2.motion_offsets), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(out["ep_time"]), np.asarray(es2.time), atol=1e-6)
+
+
+def _reassoc_atol(ref, depth=64):
+    """Derived tolerance for compiled-vs-compiled f32 comparisons.
+
+    XLA may reassociate f32 arithmetic differently per graph; for an
+    op-chain of depth d the roundoff bound is ~d * eps * |x| (relative).
+    depth=64 is a generous bound for the deepest obs/reward chains (quat
+    products -> tan-norm -> exp-of-sum-over-29-dofs).  Using a derived
+    bound instead of a bare constant means real divergence (wrong row,
+    wrong mask, wrong frame) cannot hide inside the tolerance: the bound
+    scales with magnitude, not with whatever makes the test pass.
+    (VERDICT r4 item 8.)
+    """
+    eps = np.finfo(np.float32).eps
+    return depth * eps * np.maximum(np.abs(ref), 1.0)
+
+
+def assert_reassoc_close(a, b, depth=64):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    atol = _reassoc_atol(b, depth)
+    bad = np.abs(a - b) > atol
+    assert not bad.any(), (
+        f"{bad.sum()} elements exceed the f32 reassociation bound "
+        f"(max err {np.abs(a - b).max():.3e}, max allowed {atol.max():.3e})"
+    )
+
+
+def test_rollout_step_matches_plain_path_derived_bound(env, sampler):
+    """Same comparison as test_rollout_step_matches_plain_path but at the
+    derived f32-reassociation tolerance (much tighter than the legacy
+    1e-5 absolute): divergence between the fused and plain paths cannot
+    hide under a loose constant."""
+    k_init, k_act, k_reset = jax.random.split(jax.random.PRNGKey(21), 3)
+    es = env.init_state(4)
+    es = env.reset_where(k_init, es, jnp.ones(4, bool), sampler)
+    action = jax.random.uniform(
+        k_act, (4, env.num_dofs),
+        minval=jnp.asarray(env.action_low, jnp.float32),
+        maxval=jnp.asarray(env.action_high, jnp.float32),
+    )
+    for _ in range(3):
+        es, *_ = env.step(es, action)
+
+    def plain(k, es, action, sampler_state):
+        es2, next_obs, disc_obs, disc_demo, reward, done = env.step(es, action)
+        reset_mask = es2.done != int(DoneFlags.NULL)
+        es3 = env.reset_where(k, es2, reset_mask, sampler_state)
+        return es3, env.compute_obs(es3), (next_obs, disc_obs, disc_demo, reward, done)
+
+    es3, obs_after, (next_obs, disc_obs, disc_demo, reward, done) = jax.jit(
+        plain
+    )(k_reset, es, action, sampler)
+    es3_f, obs_after_f, out = jax.jit(env.rollout_step)(
+        k_reset, es, action, sampler
+    )
+
+    np.testing.assert_array_equal(np.asarray(out["done"]), np.asarray(done))
+    assert_reassoc_close(out["reward"], reward)
+    assert_reassoc_close(out["next_obs"], next_obs)
+    assert_reassoc_close(out["disc_obs"], disc_obs)
+    assert_reassoc_close(out["disc_obs_demo"], disc_demo)
+    assert_reassoc_close(obs_after_f, obs_after)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(es3_f), jax.tree_util.tree_leaves(es3)
+    ):
+        assert_reassoc_close(a, b)
+
+
+def test_rollout_step_cached_aux_invariant(env, sampler):
+    """The incremental motion-row cache never drifts from the fresh
+    gather: after every cached step (including steps with resets), the
+    returned aux equals motion_aux(state3) BITWISE."""
+    key = jax.random.PRNGKey(3)
+    es = env.init_state(8)
+    es = env.reset_where(key, es, jnp.ones(8, bool), sampler)
+    aux = env.motion_aux(es)
+    action = jnp.zeros((8, env.num_dofs))
+
+    step = jax.jit(env.rollout_step_cached)
+    fresh_aux = jax.jit(env.motion_aux)
+    n_resets_seen = 0
+    for i in range(120):
+        k1, k2, key = jax.random.split(key, 3)
+        ids_f = env.motion.sample_motions(k1, 8)
+        times_f = env._sample_times(k2, ids_f, sampler)
+        from add_gym_tpu.envs.domain_rand import init_dr_state
+
+        es, obs_after, aux, out = step(
+            es, action, aux, ids_f, times_f, init_dr_state(8)
+        )
+        n_resets_seen += int((np.asarray(out["done"]) != 0).sum())
+        np.testing.assert_array_equal(
+            np.asarray(aux), np.asarray(fresh_aux(es)),
+            err_msg=f"aux drift at step {i}",
+        )
+    # zero-action episodes fall and terminate: the invariant must have
+    # been exercised across resets, not just steady advances
+    assert n_resets_seen > 0

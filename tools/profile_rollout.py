@@ -74,7 +74,9 @@ def main():
         return outs
     timeit("A physics only", jax.jit(roll_phys), es, tgt0)
 
-    # B. physics + actor forward (action feeds physics like the real loop)
+    # B. physics + actor forward (action feeds physics like the real loop).
+    # NOTE: the output must depend on the FINAL carry or XLA DCEs the
+    # physics entirely (first run of this tool measured actor-only here).
     def roll_phys_actor(es, obs, key):
         def body(carry, _):
             sim, obs, key = carry
@@ -84,8 +86,9 @@ def main():
             )
             sim2, contact = env._step_fn(env.params, sim, action)
             return (sim2, obs, key), jnp.sum(a_logp)
-        _, outs = jax.lax.scan(body, (es.sim, obs, key), None, length=T)
-        return outs
+        (sim, _, _), outs = jax.lax.scan(
+            body, (es.sim, obs, key), None, length=T)
+        return outs, jnp.sum(sim.root_pos)
     timeit("B + actor fwd", jax.jit(roll_phys_actor), es, obs, key)
 
     # C. B + the two fused motion gathers (consumed trivially)
@@ -113,16 +116,25 @@ def main():
             rowsB = env.motion.get_motion_step(idsA, timesA + 0.5)
             s = sum(jnp.sum(r) for r in rowsA) + sum(jnp.sum(r) for r in rowsB)
             return (sim2, obs, t2, key), s
-        _, outs = jax.lax.scan(
+        (sim, _, _, _), outs = jax.lax.scan(
             body, (es.sim, obs, es.time, key), None, length=T)
-        return outs
+        return outs, jnp.sum(sim.root_pos)
     timeit("C + 2 motion gathers", jax.jit(roll_gathers), es, obs, key)
 
-    # D. full rollout_step scan (the real thing, via agent.rollout)
+    # D. full rollout_step scan, consuming ONLY a_logp (XLA dead-codes the
+    # unused traj outputs -> measures the compute without most of the
+    # scan-output materialization)
     def roll_full(ts, es, obs, key):
         es, obs, traj = agent.rollout(ts, es, obs, key, T, train=True)
         return traj["a_logp"]
-    timeit("D full rollout", jax.jit(roll_full), ts, es, obs, key)
+    timeit("D rollout (a_logp only)", jax.jit(roll_full), ts, es, obs, key)
+
+    # D2. full rollout with the ENTIRE traj materialized (what train_iter
+    # actually pays) — D2 - D = scan-output materialization cost
+    def roll_full2(ts, es, obs, key):
+        es, obs, traj = agent.rollout(ts, es, obs, key, T, train=True)
+        return traj
+    timeit("D2 rollout (full traj)", jax.jit(roll_full2), ts, es, obs, key)
 
     # E. rollout + build_train_data (phase pair, donation-free)
     def roll_build(ts, es, obs, key):
