@@ -457,6 +457,14 @@ class ADDAgent:
                 env_state, action, aux, ids_t, times_t, dr_t
             )
             next_obs = step_out.pop("next_obs")
+            if cfg.disc_mode != "amp":
+                # ADD (and "none") only ever consume the demo-agent
+                # DIFFERENCE (disc input, sampler error, diff-normalizer
+                # stats) — record it directly and halve the disc-buffer
+                # materialization.  AMP needs both sides separately.
+                step_out["disc_diff"] = (
+                    step_out.pop("disc_obs_demo") - step_out.pop("disc_obs")
+                )
             out = dict(
                 norm_obs=norm_obs.astype(out_dtype),
                 norm_next=norm.normalize(ts.obs_norm, next_obs).astype(
@@ -511,10 +519,14 @@ class ADDAgent:
         base_agent.py:624-647.
         """
         cfg = self.cfg
-        # time-aligned demo windows, captured before any AMP replacement —
+        # lean (rollout_lean, non-AMP) trajectories record the demo-agent
+        # difference directly; rich ones carry both sides.  The
+        # time-aligned windows are captured before any AMP replacement —
         # the adaptive sampler's error signal must measure tracking error
-        # against the *aligned* reference, not freshly sampled windows
-        aligned_demo = traj["disc_obs_demo"]
+        # against the *aligned* reference, not freshly sampled windows.
+        aligned_diff = traj.get("disc_diff")
+        if aligned_diff is None:
+            aligned_diff = traj["disc_obs_demo"] - traj["disc_obs"]
         if cfg.disc_mode == "amp" and key is not None:
             # AMP fetches fresh demo windows each iteration rather than the
             # time-aligned windows ADD uses (amp_agent.py:73-78)
@@ -529,16 +541,19 @@ class ADDAgent:
         if cfg.disc_mode == "none":
             disc_r = jnp.zeros_like(task_r)
             r = cfg.task_reward_weight * task_r
-        else:
+        elif cfg.disc_mode == "amp":
             disc_in, disc_pos = self._disc_inputs(
                 ts.disc_norm, traj["disc_obs"], traj["disc_obs_demo"]
             )
             disc_r = self._disc_reward_from_input(ts.params, disc_in)
             r = cfg.task_reward_weight * task_r + cfg.disc_reward_weight * disc_r
+        else:  # "add": disc input = normalized aligned difference
+            disc_in = norm.diff_normalize(ts.disc_norm, aligned_diff)
+            disc_r = self._disc_reward_from_input(ts.params, disc_in)
+            r = cfg.task_reward_weight * task_r + cfg.disc_reward_weight * disc_r
 
         # adaptive sampler error update (add_agent.py:117-122)
-        diff = traj["disc_obs"] - aligned_demo
-        diff_sq = jnp.sum(jnp.square(diff), axis=-1)
+        diff_sq = jnp.sum(jnp.square(aligned_diff), axis=-1)
         new_sampler = sampler_mod.update_errors(
             ts.sampler, self.env.seg_sizes,
             traj["motion_ids"].reshape(-1), traj["motion_times"].reshape(-1),
@@ -907,7 +922,9 @@ class ADDAgent:
             both = jnp.concatenate([data["disc_obs"], data["disc_obs_demo"]], axis=0)
             new_disc_norm = norm.update_normalizer(ts.disc_norm, both)
         else:
-            obs_diff = traj["disc_obs_demo"] - traj["disc_obs"]
+            obs_diff = traj.get("disc_diff")
+            if obs_diff is None:
+                obs_diff = traj["disc_obs_demo"] - traj["disc_obs"]
             new_disc_norm = norm.update_diff_normalizer(ts.disc_norm, obs_diff)
         ts = replace(
             ts,
