@@ -825,6 +825,10 @@ class ADDAgent:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), info
 
+            # NOTE (measured, round 5): unroll=2 on this scan is NOT a win
+            # (850K vs the 849-870K band — within run variance, longer
+            # compiles); the per-minibatch loop overhead is not the
+            # update's bottleneck
             (params, opt_state), infos = jax.lax.scan(mb_fn, (params, opt_state), idx)
             return (params, opt_state), infos
 

@@ -418,11 +418,23 @@ class Trainer:
         training state this interrupts — then rolls deterministically until
         every env has finished at least ceil(num_episodes / num_envs)
         episodes (or an episode-length cap).  Episodes still in progress at
-        the cap are dropped (``episode_stats`` flushes only at dones).  The
-        post-eval env state carries into the next train iteration, exactly
-        like the reference (train_model continues from post-test state,
-        base_agent.py:93-95).
+        the cap are dropped (``episode_stats`` flushes only at dones).
+
+        By default the post-eval env state carries into the next train
+        iteration, exactly like the reference (train_model continues from
+        post-test state, base_agent.py:93-95).  ``eval_isolated: true``
+        instead restores the pre-eval training state afterwards — the
+        round-5 attribution study (docs/TRAINING.md) measured that the
+        reference's carry-over semantics visibly costs sample efficiency
+        under frequent/heavy eval (every eval leaves ALL envs synchronized
+        early-episode, skewing the on-policy data distribution).  With a
+        stateful GPU engine, snapshotting the simulator is expensive; here
+        the entire environment is one device pytree, so isolation is a
+        reference copy (tests/test_runner_eval.py::test_eval_isolated_*).
         """
+        isolated = bool(self.cfg.get("eval_isolated", False))
+        if isolated:
+            es_saved, obs_saved = self.es, self.obs
         min_eps = int(np.ceil(num_episodes / self.num_envs))
         max_ep_steps = int(
             self.env.task.max_episode_length / self.env.ctrl_dt
@@ -450,7 +462,10 @@ class Trainer:
         rewards = np.concatenate(all_r, axis=0)
         dones = np.concatenate(all_d, axis=0)
         ep_returns, ep_lens = episode_stats(rewards, dones)
-        self.es, self.obs = es, obs
+        if isolated:
+            self.es, self.obs = es_saved, obs_saved
+        else:
+            self.es, self.obs = es, obs
         if not ep_returns:
             return {"mean_return": 0.0, "mean_ep_len": float(steps), "num_eps": 0}
         return {
